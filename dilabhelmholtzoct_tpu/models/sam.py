@@ -1,0 +1,690 @@
+"""TPU-native functional SAM (Segment Anything Model) in pure JAX.
+
+This re-implements, from the published architecture, the three SAM submodules
+the reference drives through HuggingFace ``transformers.SamModel``
+(reference call sites: octsam/models/training_utils.py:55,273-280 and
+octsam/inference/app.py:11-30):
+
+  * ViTDet image encoder (windowed + global attention, decomposed relative
+    position bias, convolutional neck),
+  * prompt encoder (random-Fourier positional encoding, point/box/mask
+    embeddings),
+  * two-way-transformer mask decoder (IoU head, hypernetwork MLPs,
+    transposed-conv upscaler).
+
+Design is TPU-first rather than a torch translation:
+
+  * NHWC activation layout end-to-end (TPU conv/native layout).
+  * Parameters are plain nested dicts (pytrees) — trivially shardable with
+    ``jax.sharding`` and convertible from HF checkpoints
+    (see ``models/convert.py``).
+  * Transposed convs in the decoder upscaler are expressed as einsum +
+    reshape (pure MXU work, no scatter).
+  * The per-mask-token hypernetwork MLPs are stacked into single batched
+    einsums instead of a Python loop over 5 modules.
+  * All shapes static; the whole forward jit-compiles to one XLA program.
+
+Numerics match HF ``SamModel`` (f32) to ~1e-5; verified by
+``tests/test_sam_parity.py``.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .configs import DecoderConfig, SamConfig, VisionConfig
+
+# ---------------------------------------------------------------------------
+# Small building blocks
+# ---------------------------------------------------------------------------
+
+
+def layer_norm(x, p, eps):
+    """LayerNorm over the trailing axis, computed in f32."""
+    dtype = x.dtype
+    x = x.astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    return (y * p["scale"] + p["bias"]).astype(dtype)
+
+
+def linear(x, p):
+    return jnp.dot(x, p["w"], preferred_element_type=x.dtype) + p["b"]
+
+
+def gelu(x):
+    """Exact (erf) GELU — matches torch.nn.GELU / HF ACT2FN['gelu']."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def _softmax_f32(logits):
+    return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Vision encoder
+# ---------------------------------------------------------------------------
+
+
+def resize_rel_pos(rel_pos: jnp.ndarray, target_len: int) -> jnp.ndarray:
+    """Linearly resample a relative-position table to ``target_len`` rows.
+
+    Mirrors torch ``F.interpolate(mode='linear')`` (half-pixel centers,
+    align_corners=False). Identity when lengths already agree — which is the
+    case for every stock SAM checkpoint at native resolution.
+    """
+    if rel_pos.shape[0] == target_len:
+        return rel_pos
+    return jax.image.resize(
+        rel_pos, (target_len, rel_pos.shape[1]), method="linear"
+    )
+
+
+def rel_pos_table(rel_pos: jnp.ndarray, q_size: int, k_size: int) -> jnp.ndarray:
+    """Gather per-(q,k) relative position embeddings → (q_size, k_size, dim)."""
+    max_rel_dist = 2 * max(q_size, k_size) - 1
+    rel_pos = resize_rel_pos(rel_pos, max_rel_dist)
+    q_coords = np.arange(q_size)[:, None] * max(k_size / q_size, 1.0)
+    k_coords = np.arange(k_size)[None, :] * max(q_size / k_size, 1.0)
+    idx = (q_coords - k_coords) + (k_size - 1) * max(q_size / k_size, 1.0)
+    return rel_pos[idx.astype(np.int32)]
+
+
+def _decomposed_rel_pos_bias(q, rel_pos_h, rel_pos_w, hw):
+    """Additive attention bias from decomposed relative positions.
+
+    q: (B, heads, H*W, head_dim) un-scaled queries; returns
+    (B, heads, H*W, H*W) bias. Matches the MViTv2-style decomposition used by
+    SAM's image encoder.
+    """
+    h, w = hw
+    b, n_heads, _, head_dim = q.shape
+    rh = rel_pos_table(rel_pos_h, h, h)  # (H, H, d)
+    rw = rel_pos_table(rel_pos_w, w, w)  # (W, W, d)
+    q_r = q.reshape(b, n_heads, h, w, head_dim)
+    rel_h = jnp.einsum("bnhwc,hkc->bnhwk", q_r, rh.astype(q.dtype))
+    rel_w = jnp.einsum("bnhwc,wkc->bnhwk", q_r, rw.astype(q.dtype))
+    bias = rel_h[..., :, None] + rel_w[..., None, :]
+    return bias.reshape(b, n_heads, h * w, h * w)
+
+
+def vision_attention(x, p, cfg: VisionConfig):
+    """Multi-head self-attention with optional decomposed rel-pos bias.
+
+    x: (B, H, W, C) — B is batch*num_windows for windowed layers.
+    """
+    b, h, w, c = x.shape
+    n_heads = cfg.num_heads
+    head_dim = c // n_heads
+    qkv = linear(x.reshape(b, h * w, c), p["qkv"])  # (B, HW, 3C)
+    qkv = qkv.reshape(b, h * w, 3, n_heads, head_dim)
+    q, k, v = jnp.moveaxis(qkv, 2, 0)  # each (B, HW, heads, d)
+    q = q.transpose(0, 2, 1, 3)  # (B, heads, HW, d)
+    k = k.transpose(0, 2, 1, 3)
+    v = v.transpose(0, 2, 1, 3)
+
+    logits = jnp.einsum(
+        "bnqd,bnkd->bnqk", q * (head_dim**-0.5), k,
+        preferred_element_type=jnp.float32,
+    )
+    if cfg.use_rel_pos:
+        logits = logits + _decomposed_rel_pos_bias(
+            q, p["rel_pos_h"], p["rel_pos_w"], (h, w)
+        ).astype(logits.dtype)
+    attn = _softmax_f32(logits).astype(v.dtype)
+    out = jnp.einsum("bnqk,bnkd->bnqd", attn, v)
+    out = out.transpose(0, 2, 1, 3).reshape(b, h, w, c)
+    return linear(out, p["proj"])
+
+
+def window_partition(x, window_size):
+    """(B, H, W, C) → (B*nW, ws, ws, C) with bottom/right zero padding."""
+    b, h, w, c = x.shape
+    pad_h = (window_size - h % window_size) % window_size
+    pad_w = (window_size - w % window_size) % window_size
+    if pad_h or pad_w:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    ph, pw = h + pad_h, w + pad_w
+    x = x.reshape(b, ph // window_size, window_size, pw // window_size, window_size, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, window_size, window_size, c), (ph, pw)
+
+
+def window_unpartition(windows, window_size, padded_hw, hw):
+    ph, pw = padded_hw
+    h, w = hw
+    c = windows.shape[-1]
+    b = windows.shape[0] // ((ph // window_size) * (pw // window_size))
+    x = windows.reshape(
+        b, ph // window_size, pw // window_size, window_size, window_size, c
+    )
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, ph, pw, c)
+    return x[:, :h, :w, :]
+
+
+def vision_layer(x, p, cfg: VisionConfig, window_size: int):
+    shortcut = x
+    x = layer_norm(x, p["ln1"], cfg.layer_norm_eps)
+    if window_size > 0:
+        hw = (x.shape[1], x.shape[2])
+        x, padded_hw = window_partition(x, window_size)
+    x = vision_attention(x, p["attn"], cfg)
+    if window_size > 0:
+        x = window_unpartition(x, window_size, padded_hw, hw)
+    x = shortcut + x
+    y = layer_norm(x, p["ln2"], cfg.layer_norm_eps)
+    y = linear(gelu(linear(y, p["mlp1"])), p["mlp2"])
+    return x + y
+
+
+def encode_image(params, pixel_values, cfg: SamConfig):
+    """Run the ViTDet encoder.
+
+    pixel_values: (B, H, W, 3) NHWC, already preprocessed (normalized, padded
+    to cfg.vision.image_size).
+    Returns image embeddings (B, G, G, output_channels), NHWC.
+    """
+    v = cfg.vision
+    p = params["vision"]
+    x = jax.lax.conv_general_dilated(
+        pixel_values,
+        p["patch_embed"]["w"].astype(pixel_values.dtype),
+        window_strides=(v.patch_size, v.patch_size),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + p["patch_embed"]["b"]
+    if v.use_abs_pos:
+        x = x + p["pos_embed"].astype(x.dtype)
+    for i in range(v.num_layers):
+        ws = 0 if i in v.global_attn_indexes else v.window_size
+        x = vision_layer(x, p["layers"][i], v, ws)
+    # Neck: 1x1 conv → LN(channel) → 3x3 conv → LN(channel); both convs
+    # bias-free. 1x1 conv is a channel matmul in NHWC.
+    n = p["neck"]
+    x = jnp.dot(x, n["conv1_w"].astype(x.dtype), preferred_element_type=x.dtype)
+    x = layer_norm(x, n["ln1"], 1e-6)
+    x = jax.lax.conv_general_dilated(
+        x,
+        n["conv2_w"].astype(x.dtype),
+        window_strides=(1, 1),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    x = layer_norm(x, n["ln2"], 1e-6)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Prompt encoder
+# ---------------------------------------------------------------------------
+
+
+def _fourier_pos_encode(coords01, pe_matrix):
+    """Random-Fourier positional encoding of [0,1]-normalized coordinates.
+
+    coords01: (..., 2) → (..., 2*num_pos_feats)."""
+    c = 2.0 * coords01 - 1.0
+    c = jnp.dot(c.astype(pe_matrix.dtype), pe_matrix)
+    c = 2.0 * jnp.pi * c
+    return jnp.concatenate([jnp.sin(c), jnp.cos(c)], axis=-1)
+
+
+def image_wide_pe(params, cfg: SamConfig):
+    """Dense positional encoding over the image-embedding grid.
+
+    Returns (G, G, C): the decoder's key positional embedding."""
+    g = cfg.prompt.image_embedding_size
+    coords = (np.arange(g, dtype=np.float32) + 0.5) / g
+    grid = np.stack(np.meshgrid(coords, coords, indexing="xy"), axis=-1)
+    # grid[..., 0] = x, grid[..., 1] = y (meshgrid 'xy' ⇒ rows vary y)
+    return _fourier_pos_encode(jnp.asarray(grid), params["shared_pe"])
+
+
+def embed_points(params, points, labels, cfg: SamConfig, pad: bool):
+    """points: (B, P, N, 2) xy in input-image space; labels: (B, P, N).
+
+    Labels: 1 foreground, 0 background, -1 'not a point' slot, -10 padding.
+    """
+    p = params["prompt"]
+    points = points + 0.5  # pixel-center shift
+    if pad:
+        b, pb, n, _ = points.shape
+        points = jnp.concatenate(
+            [points, jnp.zeros((b, pb, 1, 2), points.dtype)], axis=2
+        )
+        labels = jnp.concatenate(
+            [labels, -jnp.ones((b, pb, 1), labels.dtype)], axis=2
+        )
+    size = cfg.prompt.input_image_size
+    emb = _fourier_pos_encode(points / size, params["shared_pe"])
+    lbl = labels[..., None]
+    emb = jnp.where(lbl == -1, p["not_a_point"].astype(emb.dtype), emb)
+    emb = jnp.where(lbl == -10, jnp.zeros_like(emb), emb)
+    emb = jnp.where(lbl == 0, emb + p["point_embed"][0].astype(emb.dtype), emb)
+    emb = jnp.where(lbl == 1, emb + p["point_embed"][1].astype(emb.dtype), emb)
+    return emb
+
+
+def embed_boxes(params, boxes, cfg: SamConfig):
+    """boxes: (B, nb, 4) xyxy in input-image space → (B, nb, 2, C)."""
+    p = params["prompt"]
+    b, nb, _ = boxes.shape
+    corners = (boxes + 0.5).reshape(b, nb, 2, 2)
+    size = cfg.prompt.input_image_size
+    emb = _fourier_pos_encode(corners / size, params["shared_pe"])
+    offs = jnp.stack(
+        [p["point_embed"][2], p["point_embed"][3]], axis=0
+    ).astype(emb.dtype)
+    return emb + offs[None, None]
+
+
+def embed_mask_input(params, masks, cfg: SamConfig):
+    """masks: (B, H, W, 1) NHWC low-res mask input → dense (B, G, G, C)."""
+    p = params["prompt"]["mask_embed"]
+    eps = cfg.prompt.layer_norm_eps
+
+    def conv(x, w, b, stride):
+        return jax.lax.conv_general_dilated(
+            x, w.astype(x.dtype), (stride, stride), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b
+
+    x = conv(masks, p["conv1"]["w"], p["conv1"]["b"], 2)
+    x = gelu(layer_norm(x, p["ln1"], eps))
+    x = conv(x, p["conv2"]["w"], p["conv2"]["b"], 2)
+    x = gelu(layer_norm(x, p["ln2"], eps))
+    return conv(x, p["conv3"]["w"], p["conv3"]["b"], 1)
+
+
+def encode_prompts(
+    params,
+    cfg: SamConfig,
+    batch_size: int,
+    points=None,
+    labels=None,
+    boxes=None,
+    mask_inputs=None,
+    dtype=jnp.float32,
+):
+    """Returns (sparse (B, P, T, C), dense (B, G, G, C))."""
+    sparse = None
+    if points is not None:
+        if labels is None:
+            labels = jnp.ones(points.shape[:-1], dtype=jnp.int32)
+        sparse = embed_points(params, points, labels, cfg, pad=boxes is None)
+    if boxes is not None:
+        box_emb = embed_boxes(params, boxes, cfg)
+        sparse = (
+            box_emb if sparse is None
+            else jnp.concatenate([sparse, box_emb], axis=2)
+        )
+    g = cfg.prompt.image_embedding_size
+    if mask_inputs is not None:
+        dense = embed_mask_input(params, mask_inputs, cfg)
+    else:
+        dense = jnp.broadcast_to(
+            params["prompt"]["no_mask"].astype(dtype),
+            (batch_size, g, g, cfg.prompt.hidden_size),
+        )
+    if sparse is not None:
+        sparse = sparse.astype(dtype)
+    return sparse, dense.astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Mask decoder
+# ---------------------------------------------------------------------------
+
+
+def _decoder_attention(q, k, v, p, n_heads):
+    """SAM decoder attention; q/k/v: (B, N, C_model) → (B, Nq, C_model)."""
+    b, nq, _ = q.shape
+    q = linear(q, p["q"])
+    k = linear(k, p["k"])
+    v = linear(v, p["v"])
+    internal = q.shape[-1]
+    head_dim = internal // n_heads
+    q = q.reshape(b, nq, n_heads, head_dim).transpose(0, 2, 1, 3)
+    k = k.reshape(b, k.shape[1], n_heads, head_dim).transpose(0, 2, 1, 3)
+    v = v.reshape(b, v.shape[1], n_heads, head_dim).transpose(0, 2, 1, 3)
+    logits = jnp.einsum(
+        "bnqd,bnkd->bnqk", q * (head_dim**-0.5), k,
+        preferred_element_type=jnp.float32,
+    )
+    attn = _softmax_f32(logits).astype(v.dtype)
+    out = jnp.einsum("bnqk,bnkd->bnqd", attn, v)
+    out = out.transpose(0, 2, 1, 3).reshape(b, nq, internal)
+    return linear(out, p["out"])
+
+
+def two_way_block(queries, keys, query_pe, key_pe, p, cfg: DecoderConfig, first):
+    eps = cfg.layer_norm_eps
+    if first:
+        # First layer: self-attention output REPLACES queries (no residual,
+        # no positional embedding) — skip_first_layer_pe in the original.
+        queries = _decoder_attention(
+            queries, queries, queries, p["self_attn"], cfg.num_heads
+        )
+    else:
+        q = queries + query_pe
+        queries = queries + _decoder_attention(
+            q, q, queries, p["self_attn"], cfg.num_heads
+        )
+    queries = layer_norm(queries, p["ln1"], eps)
+
+    q = queries + query_pe
+    k = keys + key_pe
+    queries = queries + _decoder_attention(
+        q, k, keys, p["cross_t2i"], cfg.num_heads
+    )
+    queries = layer_norm(queries, p["ln2"], eps)
+
+    mlp = linear(jax.nn.relu(linear(queries, p["mlp1"])), p["mlp2"])
+    queries = layer_norm(queries + mlp, p["ln3"], eps)
+
+    q = queries + query_pe
+    k = keys + key_pe
+    keys = keys + _decoder_attention(k, q, queries, p["cross_i2t"], cfg.num_heads)
+    keys = layer_norm(keys, p["ln4"], eps)
+    return queries, keys
+
+
+def two_way_transformer(point_emb, image_emb, image_pe, p, cfg: DecoderConfig):
+    """point_emb: (BP, T, C); image_emb/image_pe: (BP, HW, C)."""
+    queries, keys = point_emb, image_emb
+    for i in range(cfg.num_layers):
+        queries, keys = two_way_block(
+            queries, keys, point_emb, image_pe, p["layers"][i], cfg, first=(i == 0)
+        )
+    q = queries + point_emb
+    k = keys + image_pe
+    queries = queries + _decoder_attention(
+        q, k, keys, p["final_attn"], cfg.num_heads
+    )
+    # NB: HF's final LayerNorm uses torch default eps=1e-5 (modeling_sam.py:367)
+    queries = layer_norm(queries, p["ln_final"], 1e-5)
+    return queries, keys
+
+
+def _upscale2x(x, w, b):
+    """2x2-stride-2 transposed conv as einsum+reshape (windows don't overlap).
+
+    x: (B, H, W, Ci); w: (Ci, 2, 2, Co) → (B, 2H, 2W, Co)."""
+    bsz, h, ww, _ = x.shape
+    co = w.shape[-1]
+    y = jnp.einsum("bhwc,cdeo->bhdweo", x, w.astype(x.dtype))
+    y = y.reshape(bsz, h, 2, ww, 2, co).reshape(bsz, 2 * h, 2 * ww, co)
+    return y + b
+
+
+def decode_masks(
+    params,
+    cfg: SamConfig,
+    image_embeddings,  # (B, G, G, C) NHWC — dense prompt NOT yet added
+    image_pe,  # (G, G, C)
+    sparse_prompt,  # (B, P, T, C) or None
+    dense_prompt,  # (B, G, G, C)
+    multimask_output: bool = False,
+):
+    """Returns (masks (B, P, M, 4G, 4G), iou_pred (B, P, M))."""
+    d = cfg.decoder
+    p = params["decoder"]
+    b, g, _, c = image_embeddings.shape
+    pb = sparse_prompt.shape[1] if sparse_prompt is not None else 1
+
+    out_tokens = jnp.concatenate([p["iou_token"], p["mask_tokens"]], axis=0)
+    out_tokens = jnp.broadcast_to(
+        out_tokens.astype(image_embeddings.dtype),
+        (b, pb, out_tokens.shape[0], c),
+    )
+    tokens = (
+        jnp.concatenate([out_tokens, sparse_prompt], axis=2)
+        if sparse_prompt is not None
+        else out_tokens
+    )
+    n_tok = tokens.shape[2]
+
+    src = image_embeddings + dense_prompt  # (B, G, G, C)
+    src = jnp.repeat(src.reshape(b, 1, g * g, c), pb, axis=1)
+    src = src.reshape(b * pb, g * g, c)
+    pe = jnp.broadcast_to(
+        image_pe.reshape(1, g * g, c).astype(src.dtype), (b * pb, g * g, c)
+    )
+
+    queries, keys = two_way_transformer(
+        tokens.reshape(b * pb, n_tok, c), src, pe, p["transformer"], d
+    )
+    iou_token_out = queries[:, 0, :]
+    mask_tokens_out = queries[:, 1 : 1 + d.num_mask_tokens, :]
+
+    up = keys.reshape(b * pb, g, g, c)
+    up = _upscale2x(up, p["upscale"]["ct1_w"], p["upscale"]["ct1_b"])
+    up = gelu(layer_norm(up, p["upscale"]["ln"], 1e-6))
+    up = gelu(_upscale2x(up, p["upscale"]["ct2_w"], p["upscale"]["ct2_b"]))
+    # up: (BP, 4G, 4G, C/8)
+
+    hp = p["hyper"]
+    h = jax.nn.relu(
+        jnp.einsum("btc,tcd->btd", mask_tokens_out, hp["w1"]) + hp["b1"]
+    )
+    h = jax.nn.relu(jnp.einsum("btc,tcd->btd", h, hp["w2"]) + hp["b2"])
+    hyper_in = jnp.einsum("btc,tcd->btd", h, hp["w3"]) + hp["b3"]
+    # hyper_in: (BP, M+1, C/8)
+
+    g4 = 4 * g
+    masks = jnp.einsum(
+        "btc,bpc->btp", hyper_in, up.reshape(b * pb, g4 * g4, -1),
+        preferred_element_type=jnp.float32,
+    )
+    masks = masks.reshape(b, pb, d.num_mask_tokens, g4, g4)
+
+    ih = p["iou_head"]
+    y = jax.nn.relu(linear(iou_token_out, ih["l0"]))
+    for i in range(1, d.iou_head_depth - 1):
+        y = jax.nn.relu(linear(y, ih[f"l{i}"]))
+    iou_pred = linear(y, ih[f"l{d.iou_head_depth - 1}"])
+    iou_pred = iou_pred.reshape(b, pb, d.num_mask_tokens)
+
+    sl = slice(1, None) if multimask_output else slice(0, 1)
+    return masks[:, :, sl], iou_pred[:, :, sl]
+
+
+# ---------------------------------------------------------------------------
+# End-to-end forward
+# ---------------------------------------------------------------------------
+
+
+def sam_forward(
+    params,
+    cfg: SamConfig,
+    pixel_values=None,  # (B, H, W, 3) NHWC
+    image_embeddings=None,  # (B, G, G, C) — alternative to pixel_values
+    points=None,
+    labels=None,
+    boxes=None,
+    mask_inputs=None,
+    multimask_output: bool = False,
+):
+    """Full SAM forward. Mirrors HF SamModel.forward's contract
+    (modeling_sam.py:1202) with NHWC tensors; pred_masks are the low-res
+    (256², for ViT-B geometry) logits before the reference's 3-step
+    postprocess (training_utils.py:57-59 → ops/postprocess.py here)."""
+    if image_embeddings is None:
+        image_embeddings = encode_image(params, pixel_values, cfg)
+    b = image_embeddings.shape[0]
+    sparse, dense = encode_prompts(
+        params,
+        cfg,
+        b,
+        points=points,
+        labels=labels,
+        boxes=boxes,
+        mask_inputs=mask_inputs,
+        dtype=image_embeddings.dtype,
+    )
+    pe = image_wide_pe(params, cfg)
+    masks, iou = decode_masks(
+        params, cfg, image_embeddings, pe, sparse, dense, multimask_output
+    )
+    return {"pred_masks": masks, "iou_scores": iou,
+            "image_embeddings": image_embeddings}
+
+
+# ---------------------------------------------------------------------------
+# Initialization (for tests / training from scratch)
+# ---------------------------------------------------------------------------
+
+
+def _init_linear(key, d_in, d_out, std=0.02):
+    kw, _ = jax.random.split(key)
+    return {
+        "w": jax.random.normal(kw, (d_in, d_out), jnp.float32) * std,
+        "b": jnp.zeros((d_out,), jnp.float32),
+    }
+
+
+def _init_ln(dim):
+    return {"scale": jnp.ones((dim,), jnp.float32),
+            "bias": jnp.zeros((dim,), jnp.float32)}
+
+
+def init_params(key, cfg: SamConfig):
+    """Random initialization (HF-style scales); mainly for tests."""
+    v, pr, d = cfg.vision, cfg.prompt, cfg.decoder
+    keys = iter(jax.random.split(key, 4096))
+
+    def nk():
+        return next(keys)
+
+    vision_layers = []
+    for i in range(v.num_layers):
+        ws = v.window_size if i not in v.global_attn_indexes else v.grid_size
+        vision_layers.append({
+            "ln1": _init_ln(v.hidden_size),
+            "attn": {
+                "qkv": _init_linear(nk(), v.hidden_size, 3 * v.hidden_size),
+                "proj": _init_linear(nk(), v.hidden_size, v.hidden_size),
+                "rel_pos_h": jnp.zeros((2 * ws - 1, v.head_dim), jnp.float32),
+                "rel_pos_w": jnp.zeros((2 * ws - 1, v.head_dim), jnp.float32),
+            },
+            "ln2": _init_ln(v.hidden_size),
+            "mlp1": _init_linear(nk(), v.hidden_size, v.mlp_dim),
+            "mlp2": _init_linear(nk(), v.mlp_dim, v.hidden_size),
+        })
+    vision = {
+        "patch_embed": {
+            "w": jax.random.normal(
+                nk(), (v.patch_size, v.patch_size, v.num_channels, v.hidden_size),
+                jnp.float32) * 0.02,
+            "b": jnp.zeros((v.hidden_size,), jnp.float32),
+        },
+        "pos_embed": jnp.zeros(
+            (1, v.grid_size, v.grid_size, v.hidden_size), jnp.float32),
+        "layers": vision_layers,
+        "neck": {
+            "conv1_w": jax.random.normal(
+                nk(), (v.hidden_size, v.output_channels), jnp.float32) * 0.02,
+            "ln1": _init_ln(v.output_channels),
+            "conv2_w": jax.random.normal(
+                nk(), (3, 3, v.output_channels, v.output_channels),
+                jnp.float32) * 0.02,
+            "ln2": _init_ln(v.output_channels),
+        },
+    }
+
+    mic = pr.mask_input_channels
+
+    def conv_p(k, kh, kw, ci, co):
+        return {
+            "w": jax.random.normal(k, (kh, kw, ci, co), jnp.float32) * 0.02,
+            "b": jnp.zeros((co,), jnp.float32),
+        }
+
+    prompt = {
+        "point_embed": jax.random.normal(
+            nk(), (pr.num_point_embeddings, pr.hidden_size), jnp.float32) * 0.02,
+        "not_a_point": jax.random.normal(nk(), (pr.hidden_size,), jnp.float32) * 0.02,
+        "no_mask": jax.random.normal(nk(), (pr.hidden_size,), jnp.float32) * 0.02,
+        "mask_embed": {
+            "conv1": conv_p(nk(), 2, 2, 1, mic // 4),
+            "ln1": _init_ln(mic // 4),
+            "conv2": conv_p(nk(), 2, 2, mic // 4, mic),
+            "ln2": _init_ln(mic),
+            "conv3": conv_p(nk(), 1, 1, mic, pr.hidden_size),
+        },
+    }
+
+    def attn_p(downsample):
+        internal = d.hidden_size // downsample
+        return {
+            "q": _init_linear(nk(), d.hidden_size, internal),
+            "k": _init_linear(nk(), d.hidden_size, internal),
+            "v": _init_linear(nk(), d.hidden_size, internal),
+            "out": _init_linear(nk(), internal, d.hidden_size),
+        }
+
+    tw_layers = []
+    for _ in range(d.num_layers):
+        tw_layers.append({
+            "self_attn": attn_p(1),
+            "ln1": _init_ln(d.hidden_size),
+            "cross_t2i": attn_p(d.attention_downsample_rate),
+            "ln2": _init_ln(d.hidden_size),
+            "mlp1": _init_linear(nk(), d.hidden_size, d.mlp_dim),
+            "mlp2": _init_linear(nk(), d.mlp_dim, d.hidden_size),
+            "ln3": _init_ln(d.hidden_size),
+            "cross_i2t": attn_p(d.attention_downsample_rate),
+            "ln4": _init_ln(d.hidden_size),
+        })
+
+    c8 = d.hidden_size // 8
+    nmt = d.num_mask_tokens
+    hyper = {
+        "w1": jax.random.normal(nk(), (nmt, d.hidden_size, d.hidden_size), jnp.float32) * 0.02,
+        "b1": jnp.zeros((nmt, d.hidden_size), jnp.float32),
+        "w2": jax.random.normal(nk(), (nmt, d.hidden_size, d.hidden_size), jnp.float32) * 0.02,
+        "b2": jnp.zeros((nmt, d.hidden_size), jnp.float32),
+        "w3": jax.random.normal(nk(), (nmt, d.hidden_size, c8), jnp.float32) * 0.02,
+        "b3": jnp.zeros((nmt, c8), jnp.float32),
+    }
+    iou_head = {}
+    dims = (
+        [d.hidden_size]
+        + [d.iou_head_hidden_dim] * (d.iou_head_depth - 1)
+        + [nmt]
+    )
+    for i in range(d.iou_head_depth):
+        iou_head[f"l{i}"] = _init_linear(nk(), dims[i], dims[i + 1])
+
+    decoder = {
+        "iou_token": jax.random.normal(nk(), (1, d.hidden_size), jnp.float32) * 0.02,
+        "mask_tokens": jax.random.normal(nk(), (nmt, d.hidden_size), jnp.float32) * 0.02,
+        "transformer": {
+            "layers": tw_layers,
+            "final_attn": attn_p(d.attention_downsample_rate),
+            "ln_final": _init_ln(d.hidden_size),
+        },
+        "upscale": {
+            "ct1_w": jax.random.normal(nk(), (d.hidden_size, 2, 2, d.hidden_size // 4), jnp.float32) * 0.02,
+            "ct1_b": jnp.zeros((d.hidden_size // 4,), jnp.float32),
+            "ln": _init_ln(d.hidden_size // 4),
+            "ct2_w": jax.random.normal(nk(), (d.hidden_size // 4, 2, 2, c8), jnp.float32) * 0.02,
+            "ct2_b": jnp.zeros((c8,), jnp.float32),
+        },
+        "hyper": hyper,
+        "iou_head": iou_head,
+    }
+
+    return {
+        "vision": vision,
+        "prompt": prompt,
+        "decoder": decoder,
+        "shared_pe": (pr.hidden_size // 2) ** 0.5
+        * jax.random.normal(nk(), (2, cfg.num_pos_feats), jnp.float32),
+    }
