@@ -247,3 +247,111 @@ def from_hf_model(model, cfg: SamConfig) -> dict:
 def load_pretrained(path: str, cfg: SamConfig) -> dict:
     """Load an HF SAM checkpoint file (torch or safetensors) from disk."""
     return from_hf_state_dict(load_state_dict(path), cfg)
+
+
+def to_hf_state_dict(params: dict, cfg: SamConfig) -> dict:
+    """Reverse conversion: our pytree → HF SamModel state_dict (numpy).
+
+    Enables exporting fine-tuned checkpoints in the reference's ``.pt``
+    interchange format (training_utils.py:77) via ``torch.save``.
+    """
+    sd: dict = {}
+
+    def put_lin(prefix, p):
+        sd[f"{prefix}.weight"] = np.asarray(p["w"]).T
+        sd[f"{prefix}.bias"] = np.asarray(p["b"])
+
+    def put_ln(prefix, p):
+        sd[f"{prefix}.weight"] = np.asarray(p["scale"])
+        sd[f"{prefix}.bias"] = np.asarray(p["bias"])
+
+    def put_attn(prefix, p):
+        put_lin(f"{prefix}.q_proj", p["q"])
+        put_lin(f"{prefix}.k_proj", p["k"])
+        put_lin(f"{prefix}.v_proj", p["v"])
+        put_lin(f"{prefix}.out_proj", p["out"])
+
+    v = params["vision"]
+    sd["vision_encoder.patch_embed.projection.weight"] = np.asarray(
+        v["patch_embed"]["w"]).transpose(3, 2, 0, 1)
+    sd["vision_encoder.patch_embed.projection.bias"] = np.asarray(
+        v["patch_embed"]["b"])
+    sd["vision_encoder.pos_embed"] = np.asarray(v["pos_embed"])
+    for i, lp in enumerate(v["layers"]):
+        pf = f"vision_encoder.layers.{i}"
+        put_ln(f"{pf}.layer_norm1", lp["ln1"])
+        put_lin(f"{pf}.attn.qkv", lp["attn"]["qkv"])
+        put_lin(f"{pf}.attn.proj", lp["attn"]["proj"])
+        sd[f"{pf}.attn.rel_pos_h"] = np.asarray(lp["attn"]["rel_pos_h"])
+        sd[f"{pf}.attn.rel_pos_w"] = np.asarray(lp["attn"]["rel_pos_w"])
+        put_ln(f"{pf}.layer_norm2", lp["ln2"])
+        put_lin(f"{pf}.mlp.lin1", lp["mlp1"])
+        put_lin(f"{pf}.mlp.lin2", lp["mlp2"])
+    sd["vision_encoder.neck.conv1.weight"] = np.asarray(
+        v["neck"]["conv1_w"]).T[:, :, None, None]
+    put_ln("vision_encoder.neck.layer_norm1", v["neck"]["ln1"])
+    sd["vision_encoder.neck.conv2.weight"] = np.asarray(
+        v["neck"]["conv2_w"]).transpose(3, 2, 0, 1)
+    put_ln("vision_encoder.neck.layer_norm2", v["neck"]["ln2"])
+
+    pr = params["prompt"]
+    for i in range(cfg.prompt.num_point_embeddings):
+        sd[f"prompt_encoder.point_embed.{i}.weight"] = np.asarray(
+            pr["point_embed"][i])[None]
+    sd["prompt_encoder.not_a_point_embed.weight"] = np.asarray(
+        pr["not_a_point"])[None]
+    sd["prompt_encoder.no_mask_embed.weight"] = np.asarray(pr["no_mask"])[None]
+    for name, ours in (("conv1", "conv1"), ("conv2", "conv2"), ("conv3", "conv3")):
+        sd[f"prompt_encoder.mask_embed.{name}.weight"] = np.asarray(
+            pr["mask_embed"][ours]["w"]).transpose(3, 2, 0, 1)
+        sd[f"prompt_encoder.mask_embed.{name}.bias"] = np.asarray(
+            pr["mask_embed"][ours]["b"])
+    put_ln("prompt_encoder.mask_embed.layer_norm1", pr["mask_embed"]["ln1"])
+    put_ln("prompt_encoder.mask_embed.layer_norm2", pr["mask_embed"]["ln2"])
+
+    d = params["decoder"]
+    sd["mask_decoder.iou_token.weight"] = np.asarray(d["iou_token"])
+    sd["mask_decoder.mask_tokens.weight"] = np.asarray(d["mask_tokens"])
+    for i, lp in enumerate(d["transformer"]["layers"]):
+        pf = f"mask_decoder.transformer.layers.{i}"
+        put_attn(f"{pf}.self_attn", lp["self_attn"])
+        put_ln(f"{pf}.layer_norm1", lp["ln1"])
+        put_attn(f"{pf}.cross_attn_token_to_image", lp["cross_t2i"])
+        put_ln(f"{pf}.layer_norm2", lp["ln2"])
+        put_lin(f"{pf}.mlp.lin1", lp["mlp1"])
+        put_lin(f"{pf}.mlp.lin2", lp["mlp2"])
+        put_ln(f"{pf}.layer_norm3", lp["ln3"])
+        put_attn(f"{pf}.cross_attn_image_to_token", lp["cross_i2t"])
+        put_ln(f"{pf}.layer_norm4", lp["ln4"])
+    put_attn("mask_decoder.transformer.final_attn_token_to_image",
+             d["transformer"]["final_attn"])
+    put_ln("mask_decoder.transformer.layer_norm_final_attn",
+           d["transformer"]["ln_final"])
+    sd["mask_decoder.upscale_conv1.weight"] = np.asarray(
+        d["upscale"]["ct1_w"]).transpose(0, 3, 1, 2)
+    sd["mask_decoder.upscale_conv1.bias"] = np.asarray(d["upscale"]["ct1_b"])
+    put_ln("mask_decoder.upscale_layer_norm", d["upscale"]["ln"])
+    sd["mask_decoder.upscale_conv2.weight"] = np.asarray(
+        d["upscale"]["ct2_w"]).transpose(0, 3, 1, 2)
+    sd["mask_decoder.upscale_conv2.bias"] = np.asarray(d["upscale"]["ct2_b"])
+    h = d["hyper"]
+    for i in range(cfg.decoder.num_mask_tokens):
+        pf = f"mask_decoder.output_hypernetworks_mlps.{i}"
+        sd[f"{pf}.proj_in.weight"] = np.asarray(h["w1"][i]).T
+        sd[f"{pf}.proj_in.bias"] = np.asarray(h["b1"][i])
+        sd[f"{pf}.layers.0.weight"] = np.asarray(h["w2"][i]).T
+        sd[f"{pf}.layers.0.bias"] = np.asarray(h["b2"][i])
+        sd[f"{pf}.proj_out.weight"] = np.asarray(h["w3"][i]).T
+        sd[f"{pf}.proj_out.bias"] = np.asarray(h["b3"][i])
+    put_lin("mask_decoder.iou_prediction_head.proj_in", d["iou_head"]["l0"])
+    for i in range(1, cfg.decoder.iou_head_depth - 1):
+        put_lin(f"mask_decoder.iou_prediction_head.layers.{i - 1}",
+                d["iou_head"][f"l{i}"])
+    put_lin("mask_decoder.iou_prediction_head.proj_out",
+            d["iou_head"][f"l{cfg.decoder.iou_head_depth - 1}"])
+
+    sd["shared_image_embedding.positional_embedding"] = np.asarray(
+        params["shared_pe"])
+    sd["prompt_encoder.shared_embedding.positional_embedding"] = np.asarray(
+        params["shared_pe"])
+    return sd
