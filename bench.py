@@ -1,0 +1,126 @@
+"""Benchmark: MedSAM-style ViT-B mask-decoder fine-tune throughput on TPU.
+
+Measures the reference's headline workload (BASELINE.md config 2: decoder
+fine-tune, DiceCE, bbox prompts, top=False) as images/sec/chip for the full
+reference-equivalent step — preprocess + frozen ViT-B encoder forward +
+decoder forward/backward + Adam — on synthetic 496x512 OCT-geometry data.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "img/s", "vs_baseline": N}
+
+vs_baseline divides by the A100 PyTorch reference estimate recorded in
+BASELINE.md (the reference publishes no numbers; the estimate and its
+basis are documented there).
+
+Extra diagnostic lines (cached-embedding mode, inference latency) go to
+stderr so stdout stays a single JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+# Estimated single-A100 PyTorch throughput for the reference's fine-tune
+# step (see BASELINE.md "Measured baselines"); reference publishes none.
+A100_REFERENCE_IMG_S = 15.0
+
+BATCH = 8
+N_PROMPTS = 8
+WARMUP = 3
+ITERS = 20
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from dilabhelmholtzoct_tpu.models import sam_vit_base, init_params
+    from dilabhelmholtzoct_tpu.train.trainer import (
+        TrainConfig,
+        _split_params,
+        make_optimizer,
+        make_train_step,
+    )
+
+    dev = jax.devices()[0]
+    print(f"[bench] device: {dev}", file=sys.stderr)
+
+    cfg = sam_vit_base()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    decoder_params, frozen_params = _split_params(params)
+
+    rng = np.random.default_rng(0)
+    orig_hw = (496, 512)
+    batch = {
+        "image": jnp.asarray(
+            rng.integers(0, 255, (BATCH, *orig_hw, 3)), jnp.uint8
+        ),
+        "prompts": jnp.asarray(
+            rng.uniform(0, 400, (BATCH, N_PROMPTS, 4)), jnp.float32
+        ),
+        "gt_masks": jnp.asarray(
+            (rng.random((BATCH, N_PROMPTS, *orig_hw)) > 0.9).astype(np.float32)
+        ),
+        "channel_mask": jnp.ones((BATCH, N_PROMPTS), jnp.float32),
+    }
+
+    def bench_step(config, batch, tag):
+        optimizer = make_optimizer(config)
+        opt_state = optimizer.init(decoder_params)
+        step = make_train_step(
+            cfg, config, optimizer, orig_hw,
+            from_embeddings=config.cache_embeddings,
+        )
+        dec, opt = decoder_params, opt_state
+        t0 = time.time()
+        dec, opt, loss = step(dec, opt, frozen_params, batch)
+        jax.block_until_ready(loss)
+        compile_s = time.time() - t0
+        for _ in range(WARMUP):
+            dec, opt, loss = step(dec, opt, frozen_params, batch)
+        jax.block_until_ready(loss)
+        t0 = time.time()
+        for _ in range(ITERS):
+            dec, opt, loss = step(dec, opt, frozen_params, batch)
+        jax.block_until_ready(loss)
+        dt = (time.time() - t0) / ITERS
+        print(
+            f"[bench] {tag}: {dt * 1e3:.1f} ms/step "
+            f"({BATCH / dt:.2f} img/s, compile {compile_s:.1f}s)",
+            file=sys.stderr,
+        )
+        return BATCH / dt
+
+    # full reference-equivalent step (encoder inside)
+    full_cfg = TrainConfig(
+        compute_dtype="bfloat16", cache_embeddings=False,
+        batch_size=BATCH,
+    )
+    img_s = bench_step(full_cfg, batch, "full step (bf16 encoder)")
+
+    # cached-embedding mode (the framework's recommended fine-tune path)
+    cached_cfg = TrainConfig(
+        compute_dtype="bfloat16", cache_embeddings=True, batch_size=BATCH
+    )
+    g = cfg.prompt.image_embedding_size
+    cached_batch = dict(batch)
+    cached_batch.pop("image")
+    cached_batch["embeddings"] = jnp.asarray(
+        rng.normal(size=(BATCH, g, g, 256)), jnp.bfloat16
+    )
+    bench_step(cached_cfg, cached_batch, "cached-embedding step")
+
+    print(json.dumps({
+        "metric": "vitb_decoder_finetune_throughput",
+        "value": round(img_s, 2),
+        "unit": "img/s",
+        "vs_baseline": round(img_s / A100_REFERENCE_IMG_S, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -56,16 +56,23 @@ class PromptedDataset:
             image = colormap_lut(self.pseudocolor)[image[:, :, 0]]
         return image
 
+    def _rng(self, idx: int) -> np.random.Generator:
+        return np.random.default_rng(
+            (self._seed * 1_000_003 + self._epoch * 7919 + int(idx)) & 0x7FFFFFFF
+        )
+
+    def sample(self, idx: int) -> PromptedSample:
+        """Prompts only — skips image decode (embedding-cache train path)."""
+        _, label = item_arrays(self.dataset[int(idx)])
+        return sample_prompts(label, self.prompt_type, self._rng(idx))
+
     def __getitem__(self, idx: int) -> tuple[np.ndarray, PromptedSample]:
         image, label = item_arrays(self.dataset[int(idx)])
         if self.pseudocolor is not None:
             from ..ops.preprocess import colormap_lut
 
             image = colormap_lut(self.pseudocolor)[image[:, :, 0]]
-        rng = np.random.default_rng(
-            (self._seed * 1_000_003 + self._epoch * 7919 + int(idx)) & 0x7FFFFFFF
-        )
-        return image, sample_prompts(label, self.prompt_type, rng)
+        return image, sample_prompts(label, self.prompt_type, self._rng(idx))
 
 
 def batches(
@@ -79,6 +86,7 @@ def batches(
     num_workers: int = 8,
     prefetch: int = 4,
     drop_last: bool = False,
+    with_images: bool = True,
 ) -> Iterator[dict]:
     """Prefetching batch iterator with static bucketed shapes."""
     n = len(dataset)
@@ -94,14 +102,18 @@ def batches(
         chunks = [c for c in chunks if len(c) == batch_size]
 
     def build(idx_chunk):
-        items = [dataset[i] for i in idx_chunk]
-        images = np.stack([im for im, _ in items])
-        return collate(
-            [s for _, s in items],
-            images,
-            prompt_type=dataset.prompt_type,
-            buckets=buckets,
+        if with_images:
+            items = [dataset[i] for i in idx_chunk]
+            images = np.stack([im for im, _ in items])
+            samples = [s for _, s in items]
+        else:
+            images = None
+            samples = [dataset.sample(i) for i in idx_chunk]
+        batch = collate(
+            samples, images, prompt_type=dataset.prompt_type, buckets=buckets
         )
+        batch["indices"] = np.asarray(idx_chunk, np.int32)
+        return batch
 
     with concurrent.futures.ThreadPoolExecutor(num_workers) as pool:
         pending = []

@@ -97,7 +97,7 @@ def bucket_for(n: int, buckets=DEFAULT_BUCKETS) -> int:
 
 def collate(
     samples: list[PromptedSample],
-    images: np.ndarray,
+    images: np.ndarray | None = None,
     *,
     prompt_type: str = "bboxes",
     buckets=DEFAULT_BUCKETS,
@@ -119,7 +119,10 @@ def collate(
       n_components (B,) i32 — true per-sample component counts
     """
     bsz = len(samples)
-    h, w = images.shape[1:3]
+    if images is not None:
+        h, w = images.shape[1:3]
+    else:
+        h, w = samples[0].gt_masks.shape[-2:]
     max_n = max(s.n for s in samples)
     cap = buckets[-1]
     if max_n > cap:
@@ -162,13 +165,14 @@ def collate(
         )
 
     out = {
-        "image": images,
         "prompts": prompts,
         "gt_masks": gt,
         "mask_values": values,
         "channel_mask": channel_mask,
         "n_components": n_comp,
     }
+    if images is not None:
+        out["image"] = images
     if labels is not None:
         out["point_labels"] = labels
     return out

@@ -1,0 +1,206 @@
+"""Per-class evaluation harness.
+
+Replicates the reference's ``evaluate_metrics`` report (octsam/models/
+training_utils.py:82-270): per-sample inference with sigmoid + 0.5
+threshold, component→class bucketing with stop-at-padded-zero semantics
+(training_utils.py:128-134), then for each of the 14 classes — IoU,
+accuracy (HF mean_iou semantics), F1, Dice, sensitivity, specificity and
+average precision, computed both globally (all pixels of the class pooled)
+and per-sample (mean over samples), with best/average/worst-3 sample
+printouts per metric (NO_BEST_WORST_SAMPLES=3, training_utils.py:25).
+
+TPU-first: the forward runs jitted with the encoder computed once per
+sample batch; metric reductions run vectorized on host.
+"""
+
+from __future__ import annotations
+
+import functools
+from collections import defaultdict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.sam import encode_image, sam_forward
+from ..ops.metrics import (
+    average_precision,
+    binary_confusion,
+    category_accuracy,
+    dice,
+    f1,
+    iou,
+    sensitivity,
+    specificity,
+)
+from ..ops.postprocess import postprocess_masks
+from ..ops.preprocess import preprocess_image, rescale_boxes, rescale_coords
+
+NO_BEST_WORST_SAMPLES = 3
+
+
+def _bucket(n, buckets=(4, 8, 16, 32, 64)):
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+def make_infer_fn(params, cfg, config, orig_hw):
+    """Jitted per-sample inference: image + prompts → (C, H, W) sigmoid
+    probabilities (compiled once per prompt-bucket size)."""
+    size = cfg.vision.image_size
+
+    # NB: params must be an explicit jit argument — closing over them bakes
+    # ~90M weights into the graph as constants and compile time explodes.
+    @jax.jit
+    def _run_boxes(p, image, boxes):
+        pix, _ = preprocess_image(image[None], target_size=size)
+        out = sam_forward(
+            p, cfg, pixel_values=pix,
+            boxes=rescale_boxes(boxes[None], orig_hw, size),
+            multimask_output=False,
+        )
+        masks = postprocess_masks(out["pred_masks"][:, :, 0], orig_hw, model_size=size)
+        return jax.nn.sigmoid(masks[0])
+
+    @jax.jit
+    def _run_points(p, image, points, labels):
+        pix, _ = preprocess_image(image[None], target_size=size)
+        out = sam_forward(
+            p, cfg, pixel_values=pix,
+            points=rescale_coords(points[None], orig_hw, size),
+            labels=labels[None],
+            multimask_output=False,
+        )
+        masks = postprocess_masks(out["pred_masks"][:, :, 0], orig_hw, model_size=size)
+        return jax.nn.sigmoid(masks[0])
+
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+
+    def infer(image, sample):
+        n = sample.n
+        c = _bucket(max(n, 1))
+        if config.prompt_type == "points":
+            pts = np.zeros((c, 1, 2), np.float32)
+            lbl = np.full((c, 1), -10, np.int32)
+            pts[:n] = sample.bboxes[:c]
+            lbl[:n] = 1
+            probs = _run_points(
+                params, jnp.asarray(image), jnp.asarray(pts), jnp.asarray(lbl)
+            )
+        else:
+            boxes = np.zeros((c, 4), np.float32)
+            boxes[:n] = sample.bboxes[:c]
+            probs = _run_boxes(params, jnp.asarray(image), jnp.asarray(boxes))
+        return np.asarray(probs[:n], np.float32)
+
+    return infer
+
+
+def _metric_block(name, global_val, sample_vals, idx, out):
+    order = np.argsort(sample_vals)
+    k = NO_BEST_WORST_SAMPLES
+    mid0 = len(sample_vals) // 2 - k // 2
+    mid1 = len(sample_vals) // 2 + k // 2
+    print(f"----{name}----:")
+    print(f"{global_val} \\ {np.mean(sample_vals)}")
+    print(f"Best samples: {idx[order[-k:]]}")
+    print(f"Average samples: {idx[order[mid0:mid1]]}")
+    print(f"Worst samples: {idx[order[:k]]}")
+    out[name.lower()] = {"global": float(global_val),
+                         "sample_mean": float(np.mean(sample_vals))}
+
+
+def evaluate_metrics(params, cfg, config, dataset, *, orig_hw, num_classes=14):
+    """Full per-class report; returns nested dict of all metrics."""
+    infer = make_infer_fn(params, cfg, config, orig_hw)
+
+    seg = defaultdict(list)       # class → [binary mask]
+    seg_probs = defaultdict(list)  # class → [prob mask]
+    gts = defaultdict(list)
+    indexes = defaultdict(list)
+
+    for i in range(len(dataset)):
+        image, sample = dataset[i]
+        probs = infer(image, sample)
+        binary = (probs > 0.5).astype(np.uint8)
+        for c in range(sample.n):
+            v = int(sample.mask_values[c])
+            # stop-at-padded-zero parity (training_utils.py:128-131): value 0
+            # after position 0 terminated the reference's padded scan; our
+            # samples are unpadded, but background-0 still only occurs at c=0.
+            if v == 0 and c > 0:
+                break
+            seg[v].append(binary[c])
+            seg_probs[v].append(probs[c])
+            gts[v].append(sample.gt_masks[c])
+            indexes[v].append(i)
+
+    report = {}
+    agg = {k: np.zeros(num_classes) for k in (
+        "iou", "accuracy", "f1", "dice", "sensitivity", "specificity", "ap")}
+    agg_s = {k: np.zeros(num_classes) for k in agg}
+
+    class_names = config.mask_dict or {i: str(i) for i in range(num_classes)}
+    for cls in range(num_classes):
+        name = class_names.get(cls, str(cls))
+        print(f"------------------CLASS: {name}----------------------")
+        if not seg[cls]:
+            print("(no samples)")
+            continue
+        flat_gt = np.stack(gts[cls])
+        flat_seg = np.stack(seg[cls])
+        flat_probs = np.stack(seg_probs[cls])
+        conf = binary_confusion(flat_seg, flat_gt)
+        g = {
+            "IoU": iou(*conf),
+            "Accuracy": category_accuracy(*conf),
+            "Specificity": specificity(*conf),
+            "Sensitivity": sensitivity(*conf),
+            "F1": f1(*conf),
+            "Dice": dice(*conf),
+            "AP": average_precision(flat_probs, flat_gt),
+        }
+        per_sample = {k: [] for k in g}
+        for j in range(len(seg[cls])):
+            cj = binary_confusion(flat_seg[j], flat_gt[j])
+            per_sample["IoU"].append(iou(*cj))
+            per_sample["Accuracy"].append(category_accuracy(*cj))
+            per_sample["Specificity"].append(specificity(*cj))
+            per_sample["Sensitivity"].append(sensitivity(*cj))
+            per_sample["F1"].append(f1(*cj))
+            per_sample["Dice"].append(dice(*cj))
+            per_sample["AP"].append(
+                average_precision(flat_probs[j], flat_gt[j])
+            )
+        idx = np.asarray(indexes[cls])
+        cls_report = {}
+        for metric in g:
+            vals = np.nan_to_num(np.asarray(per_sample[metric], np.float64))
+            _metric_block(metric, np.nan_to_num(g[metric]), vals, idx, cls_report)
+        report[name] = cls_report
+        key_map = {"IoU": "iou", "Accuracy": "accuracy", "F1": "f1",
+                   "Dice": "dice", "Sensitivity": "sensitivity",
+                   "Specificity": "specificity", "AP": "ap"}
+        for mk, ak in key_map.items():
+            agg[ak][cls] = np.nan_to_num(g[mk])
+            agg_s[ak][cls] = np.nan_to_num(
+                np.mean(np.nan_to_num(per_sample[mk]))
+            )
+
+    print("----------GLOBAL----------")
+    for k in ("accuracy", "iou", "specificity", "sensitivity", "dice", "ap"):
+        print(f"Category_{k}: {list(agg[k])}")
+    means = {k: float(np.mean(v)) for k, v in agg.items()}
+    for k, v in means.items():
+        print(f"Mean {k}: {v}")
+    print("----------SAMPLE----------")
+    sample_means = {k: float(np.mean(v)) for k, v in agg_s.items()}
+    for k, v in sample_means.items():
+        print(f"Mean {k}: {v}")
+
+    report["_global"] = {k: list(map(float, v)) for k, v in agg.items()}
+    report["_means"] = means
+    report["_sample_means"] = sample_means
+    return report

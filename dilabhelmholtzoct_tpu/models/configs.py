@@ -152,6 +152,11 @@ _PRESETS = {
 }
 
 
+def register_preset(name: str, factory) -> None:
+    """Register a custom ``--base_model`` name (tests, custom geometries)."""
+    _PRESETS[name] = factory
+
+
 def config_for(base_model: str) -> SamConfig:
     """Resolve a reference-style ``--base_model`` name to a config."""
     key = base_model.strip()

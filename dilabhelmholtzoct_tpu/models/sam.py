@@ -114,6 +114,28 @@ def _decomposed_rel_pos_bias(q, rel_pos_h, rel_pos_w, hw):
     return bias.reshape(b, n_heads, h * w, h * w)
 
 
+# Flash-attention routing for the encoder's global layers. "auto": use the
+# Pallas streaming kernel (ops/attention.py) on non-CPU backends for large
+# token counts — the materialized (N, N) bias path OOMs batched 1024² inputs.
+_FLASH_MODE = "auto"
+_FLASH_MIN_TOKENS = 1024
+
+
+def set_flash_attention(mode: str):
+    """mode ∈ {'auto', 'on', 'off', 'interpret'} (interpret: debug on CPU)."""
+    global _FLASH_MODE
+    assert mode in ("auto", "on", "off", "interpret")
+    _FLASH_MODE = mode
+
+
+def _use_flash(n_tokens: int) -> bool:
+    if _FLASH_MODE == "off":
+        return False
+    if _FLASH_MODE in ("on", "interpret"):
+        return True
+    return n_tokens >= _FLASH_MIN_TOKENS and jax.default_backend() != "cpu"
+
+
 def vision_attention(x, p, cfg: VisionConfig):
     """Multi-head self-attention with optional decomposed rel-pos bias.
 
@@ -129,16 +151,36 @@ def vision_attention(x, p, cfg: VisionConfig):
     k = k.transpose(0, 2, 1, 3)
     v = v.transpose(0, 2, 1, 3)
 
-    logits = jnp.einsum(
-        "bnqd,bnkd->bnqk", q * (head_dim**-0.5), k,
-        preferred_element_type=jnp.float32,
-    )
-    if cfg.use_rel_pos:
-        logits = logits + _decomposed_rel_pos_bias(
-            q, p["rel_pos_h"], p["rel_pos_w"], (h, w)
-        ).astype(logits.dtype)
-    attn = _softmax_f32(logits).astype(v.dtype)
-    out = jnp.einsum("bnqk,bnkd->bnqd", attn, v)
+    if cfg.use_rel_pos and _use_flash(h * w):
+        from ..ops.attention import flash_attention_relpos
+
+        rh = rel_pos_table(p["rel_pos_h"], h, h)  # (H, H, d)
+        rw = rel_pos_table(p["rel_pos_w"], w, w)
+        q_r = q.reshape(b, n_heads, h, w, head_dim)
+        rel_h = jnp.einsum("bnhwc,hkc->bnhwk", q_r, rh.astype(q.dtype))
+        rel_w = jnp.einsum("bnhwc,wkc->bnhwk", q_r, rw.astype(q.dtype))
+        bhn = b * n_heads
+        out = flash_attention_relpos(
+            q.reshape(bhn, h * w, head_dim),
+            k.reshape(bhn, h * w, head_dim),
+            v.reshape(bhn, h * w, head_dim),
+            rel_h.reshape(bhn, h * w, h),
+            rel_w.reshape(bhn, h * w, w),
+            hw=(h, w),
+            interpret=(_FLASH_MODE == "interpret"),
+        )
+        out = out.reshape(b, n_heads, h * w, head_dim)
+    else:
+        logits = jnp.einsum(
+            "bnqd,bnkd->bnqk", q * (head_dim**-0.5), k,
+            preferred_element_type=jnp.float32,
+        )
+        if cfg.use_rel_pos:
+            logits = logits + _decomposed_rel_pos_bias(
+                q, p["rel_pos_h"], p["rel_pos_w"], (h, w)
+            ).astype(logits.dtype)
+        attn = _softmax_f32(logits).astype(v.dtype)
+        out = jnp.einsum("bnqk,bnkd->bnqd", attn, v)
     out = out.transpose(0, 2, 1, 3).reshape(b, h, w, c)
     return linear(out, p["proj"])
 
@@ -218,6 +260,34 @@ def encode_image(params, pixel_values, cfg: SamConfig):
     )
     x = layer_norm(x, n["ln2"], 1e-6)
     return x
+
+
+def encode_image_microbatched(params, pixel_values, cfg: SamConfig,
+                              microbatch: int = 1):
+    """Encode in sequential chunks of ``microbatch`` inside one jitted
+    program (lax.map), bounding peak memory to one chunk's activations.
+
+    The ViT's global-attention logits are (B, heads, 4096, 4096) at 1024²
+    input — batch-8 f32 logits alone exceed a v5e's HBM. Until the Pallas
+    flash-attention path lands, this keeps arbitrary batch sizes trainable
+    with ~one-image peak memory and negligible throughput cost (the MXU is
+    saturated by a single 4096-token image).
+    """
+    b = pixel_values.shape[0]
+    if b <= microbatch:
+        return encode_image(params, pixel_values, cfg)
+    if b % microbatch != 0:
+        # pad to a multiple; padded outputs discarded
+        pad = microbatch - b % microbatch
+        pixel_values = jnp.concatenate(
+            [pixel_values, jnp.zeros((pad, *pixel_values.shape[1:]),
+                                     pixel_values.dtype)], axis=0)
+    chunks = pixel_values.reshape(
+        -1, microbatch, *pixel_values.shape[1:]
+    )
+    out = jax.lax.map(lambda x: encode_image(params, x, cfg), chunks)
+    out = out.reshape(-1, *out.shape[2:])
+    return out[:b]
 
 
 # ---------------------------------------------------------------------------

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 SMOOTH_NR = 1e-5
 SMOOTH_DR = 1e-5
@@ -50,15 +51,24 @@ def softmax_ce_prob_targets(logits, targets, channel_mask=None):
     """
     x = logits.astype(jnp.float32)
     t = targets.astype(jnp.float32)
-    if channel_mask is not None:
-        m = channel_mask.astype(bool)
-        shape = (m.shape[0], m.shape[1]) + (1,) * (logits.ndim - 2)
-        m = m.reshape(shape)
-        x = jnp.where(m, x, -jnp.inf)
-        t = jnp.where(m, t, 0.0)
+    if channel_mask is None:
+        logp = jax.nn.log_softmax(x, axis=1)
+        return jnp.mean(-jnp.sum(t * logp, axis=1))
+    m = channel_mask.astype(bool)
+    shape = (m.shape[0], m.shape[1]) + (1,) * (logits.ndim - 2)
+    mb = m.reshape(shape)
+    x = jnp.where(mb, x, -jnp.inf)
+    t = jnp.where(mb, t, 0.0)
     logp = jax.nn.log_softmax(x, axis=1)
     logp = jnp.where(jnp.isfinite(logp), logp, 0.0)
-    return jnp.mean(-jnp.sum(t * logp, axis=1))
+    per_pixel = -jnp.sum(t * logp, axis=1)  # (B, *spatial)
+    # mean over pixels of rows that exist (fully-masked rows are
+    # data-parallel padding and must not dilute the denominator)
+    row_valid = jnp.any(m, axis=1).astype(jnp.float32)  # (B,)
+    n_pix = float(np.prod(per_pixel.shape[1:]))
+    denom = jnp.maximum(jnp.sum(row_valid) * n_pix, 1.0)
+    rshape = (-1,) + (1,) * (per_pixel.ndim - 1)
+    return jnp.sum(per_pixel * row_valid.reshape(rshape)) / denom
 
 
 def bce_with_logits(logits, targets):

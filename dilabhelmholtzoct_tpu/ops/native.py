@@ -1,0 +1,115 @@
+"""ctypes bindings for the native (C++) host-side kernels.
+
+Loads ``native/libdhoct_native.so`` (auto-building it with ``make`` on first
+use when a compiler is available) and exposes the batched cubical
+persistence pairing. Falls back transparently to the pure-Python reference
+(ops/topology_ref.py) when no native library can be built — results are
+identical, validated in tests/test_topology_native.py.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libdhoct_native.so"))
+
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(
+                ["make", "-C", os.path.abspath(_NATIVE_DIR)],
+                check=True, capture_output=True, timeout=120,
+            )
+        except (subprocess.SubprocessError, FileNotFoundError, OSError):
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    lib.cubical_pairs_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_float),  # grids
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32),  # h0_birth
+        ctypes.POINTER(ctypes.c_int32),  # h0_death
+        ctypes.POINTER(ctypes.c_int32),  # h1_birth
+        ctypes.POINTER(ctypes.c_int32),  # h1_death
+        ctypes.POINTER(ctypes.c_int32),  # counts
+        ctypes.POINTER(ctypes.c_int32),  # h0_essential
+    ]
+    lib.cubical_pairs_batch.restype = None
+    _lib = lib
+    return _lib
+
+
+def have_native() -> bool:
+    return _load() is not None
+
+
+def _ptr(a, typ):
+    return a.ctypes.data_as(ctypes.POINTER(typ))
+
+
+def cubical_pairs_batch(grids: np.ndarray, max_bars: int = 32):
+    """Batched H0/H1 persistence pairing.
+
+    grids: (N, H, W) float32. Returns dict of arrays:
+      h0_birth/h0_death/h1_birth/h1_death: (N, max_bars) int32, -1 padded
+      counts: (N, 2) int32 — [n_h0_finite, n_h1]
+      h0_essential: (N,) int32 birth pixel of the essential H0 class
+    Bars beyond max_bars are dropped lowest-persistence-first.
+    """
+    grids = np.ascontiguousarray(grids, np.float32)
+    n, h, w = grids.shape
+    out = {
+        "h0_birth": np.empty((n, max_bars), np.int32),
+        "h0_death": np.empty((n, max_bars), np.int32),
+        "h1_birth": np.empty((n, max_bars), np.int32),
+        "h1_death": np.empty((n, max_bars), np.int32),
+        "counts": np.empty((n, 2), np.int32),
+        "h0_essential": np.empty((n,), np.int32),
+    }
+    lib = _load()
+    if lib is not None:
+        lib.cubical_pairs_batch(
+            _ptr(grids, ctypes.c_float), n, h, w, max_bars,
+            _ptr(out["h0_birth"], ctypes.c_int32),
+            _ptr(out["h0_death"], ctypes.c_int32),
+            _ptr(out["h1_birth"], ctypes.c_int32),
+            _ptr(out["h1_death"], ctypes.c_int32),
+            _ptr(out["counts"], ctypes.c_int32),
+            _ptr(out["h0_essential"], ctypes.c_int32),
+        )
+        return out
+
+    # pure-Python fallback (identical algorithm)
+    from .topology_ref import cubical_pairs
+
+    for g in range(n):
+        pairs = cubical_pairs(grids[g])
+        flat = grids[g].reshape(-1)
+        for dim, key in ((0, "h0"), (1, "h1")):
+            bars = pairs[key]
+            if len(bars) > max_bars:
+                pers = np.abs(flat[bars[:, 1]] - flat[bars[:, 0]])
+                bars = bars[np.argsort(-pers, kind="stable")[:max_bars]]
+            k = len(bars)
+            out[f"h{dim}_birth"][g, :] = -1
+            out[f"h{dim}_death"][g, :] = -1
+            out[f"h{dim}_birth"][g, :k] = bars[:, 0]
+            out[f"h{dim}_death"][g, :k] = bars[:, 1]
+            out["counts"][g, dim] = k
+        out["h0_essential"][g] = pairs["h0_essential"]
+    return out

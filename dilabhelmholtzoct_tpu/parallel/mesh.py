@@ -1,0 +1,66 @@
+"""Device mesh + sharding for data-parallel training over ICI.
+
+The reference has zero parallelism (single ``model.to(device)``,
+octsam/models/training_utils.py:33-34; SURVEY.md §2.3). The TPU-native
+scale-out for this workload is 1-D data parallelism: batch sharded over a
+``('data',)`` mesh, parameters replicated, gradient all-reduce inserted by
+XLA's SPMD partitioner and carried over ICI. TP/PP/SP/EP are intentionally
+out of scope (SURVEY.md §2.3 — the model fits on one chip and the dataset
+is 552 images).
+
+Usage:
+    mesh = make_mesh()                       # all local devices
+    batch = shard_batch(batch, mesh)         # leading axis over 'data'
+    params = replicate(params, mesh)
+    step = jax.jit(train_step, ...)          # XLA inserts the psum
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    """Place every array in the batch with its leading axis over 'data'."""
+    s = data_sharding(mesh)
+    return {k: jax.device_put(v, s) for k, v in batch.items()}
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate a parameter pytree on every device of the mesh."""
+    s = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
+
+
+def pad_to_multiple(batch: dict, multiple: int, *, count_key="n_components"):
+    """Pad the leading (batch) axis up to a multiple of the mesh size so the
+    per-device shard is even; padded rows get zero channel_mask so they do
+    not contribute to the loss."""
+    b = next(iter(batch.values())).shape[0]
+    pad = (-b) % multiple
+    if pad == 0:
+        return batch, b
+    out = {}
+    for k, v in batch.items():
+        pad_width = [(0, pad)] + [(0, 0)] * (v.ndim - 1)
+        out[k] = np.pad(v, pad_width)
+    if "channel_mask" in out:
+        out["channel_mask"][b:] = 0.0
+    return out, b

@@ -1,0 +1,524 @@
+"""MedSAM-style decoder-only fine-tuning loop, TPU-first.
+
+Capability parity with the reference training loop (octsam/models/
+training_utils.py:27-80): frozen image/prompt encoders, Adam on the mask
+decoder only (training_utils.py:31,277-279), DiceCE (+ optional topological)
+loss on postprocessed masks, per-epoch train/valid logging with the
+reference's metric names, checkpointing, sample display, final evaluation.
+
+TPU-first design differences (documented divergences):
+  * The whole train step — preprocess, forward, postprocess, loss, backward,
+    Adam — is ONE jitted XLA program; gradients only exist for the decoder
+    subtree (the reference zeroes grads on frozen modules instead).
+  * Optional (default-on) **image-embedding cache**: the encoder is frozen,
+    so its output per image is constant across epochs. We encode the dataset
+    once and train the decoder against cached embeddings — numerically
+    identical to recomputing the encoder every step (which the reference
+    does), but ~25x less compute per step for ViT-B.
+  * Ragged per-image prompt counts are bucketed to static shapes with
+    channel masks that reproduce the reference's ``pad_sequence`` loss math
+    exactly (see ops/losses.py, data/sampling.py).
+  * Per-epoch checkpoints + resume (the reference saves once at the very
+    end, training_utils.py:77).
+  * Reference bugs NOT replicated: first-batch skip (training_utils.py:42-44)
+    and validation-loss double count (training_utils.py:371-376).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.pipeline import PromptedDataset, batches
+from ..data.sampling import DEFAULT_BUCKETS
+from ..models.configs import SamConfig, config_for
+from ..models.sam import (
+    decode_masks,
+    encode_image,
+    encode_image_microbatched,
+    encode_prompts,
+    image_wide_pe,
+    init_params,
+)
+from ..ops.losses import dice_ce_loss
+from ..ops.postprocess import postprocess_masks
+from ..ops.preprocess import preprocess_image, rescale_boxes, rescale_coords
+from ..parallel.mesh import make_mesh, replicate, shard_batch
+from ..utils import checkpoint as ckpt_utils
+from ..utils.logging import MultiLogger, make_logger
+
+
+@dataclass
+class TrainConfig:
+    """Typed config carrying the reference's flag surface (training.py:107-127)
+    plus TPU-specific knobs."""
+
+    base_model: str = "facebook/sam-vit-base"
+    dataset: str = ""  # path to processed DatasetDict
+    checkpoint: str = "checkpoints"  # output dir
+    learning_rate: float = 1e-3
+    weight_decay: float = 0.0
+    epochs: int = 10
+    batch_size: int = 2
+    shuffle: bool = False
+    optimizer: str = "adam"
+    loss: str = "diceCE"
+    prompt_type: str = "bboxes"
+    pseudocolor: str | None = None  # colormap name or None/grayscale
+    topological: bool = False
+    evaluate: bool = True
+    display_name: str = "run"
+    time: str = ""
+    display_mode: str = "none"
+    display_idx: tuple[int, ...] = (0, 1, 3)
+    display_train_nr: int = 1
+    display_val_nr: int = 1
+    mask_dict: dict[int, str] = field(default_factory=dict)
+    # --- TPU-native knobs (no reference equivalent) ---
+    pretrained_checkpoint: str | None = None  # HF .pt/.safetensors on disk
+    cache_embeddings: bool = True
+    compute_dtype: str = "bfloat16"
+    buckets: tuple[int, ...] = DEFAULT_BUCKETS
+    seed: int = 0
+    resume: bool = False
+    log_jsonl: str | None = None
+    use_wandb: bool = False
+    topo_lamda: float = 0.1
+    topo_feat_d: int = 1
+    topo_interp: int = 50
+    export_pt: bool = False  # write reference-format .pt (imports torch)
+    encoder_microbatch: int = 1  # images encoded per sequential chunk
+    # parity mode: recompute the encoder inside every step like the reference
+    # (cache_embeddings=False) is triggered via that flag.
+
+
+def prepare_model(config: TrainConfig) -> tuple[SamConfig, dict]:
+    """Model config + params (reference: prepare_model, training_utils.py:273).
+
+    Loads a local HF checkpoint when ``pretrained_checkpoint`` is given;
+    otherwise random-initializes (offline environments without SAM weights
+    on disk — the scale of initialization follows HF's)."""
+    cfg = config_for(config.base_model)
+    if config.pretrained_checkpoint:
+        from ..models.convert import load_pretrained
+
+        params = load_pretrained(config.pretrained_checkpoint, cfg)
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+    else:
+        params = init_params(jax.random.PRNGKey(config.seed), cfg)
+    return cfg, params
+
+
+def _split_params(params: dict) -> tuple[dict, dict]:
+    """(trainable decoder subtree, frozen rest). Mirrors the reference's
+    optimizer scope ``model.mask_decoder.parameters()`` (training_utils.py:31)
+    and frozen vision/prompt encoders (training_utils.py:277-279)."""
+    decoder = params["decoder"]
+    frozen = {k: v for k, v in params.items() if k != "decoder"}
+    return decoder, frozen
+
+
+def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
+    """torch ``Adam(lr, weight_decay)`` equivalence: L2 term added to the
+    gradient before the Adam moments (optax.add_decayed_weights → adam)."""
+    opt = config.optimizer.lower()
+    if opt == "adam":
+        core = optax.adam(config.learning_rate)
+    elif opt == "adamw":
+        return optax.adamw(config.learning_rate, weight_decay=config.weight_decay)
+    elif opt == "sgd":
+        core = optax.sgd(config.learning_rate)
+    else:
+        raise ValueError(f"unknown optimizer {config.optimizer!r}")
+    if config.weight_decay:
+        return optax.chain(
+            optax.add_decayed_weights(config.weight_decay), core
+        )
+    return core
+
+
+def _forward_from_embeddings(
+    decoder_params,
+    frozen_params,
+    cfg: SamConfig,
+    embeddings,  # (B, G, G, C)
+    batch,
+    orig_hw,
+    prompt_type: str,
+):
+    """Prompt-encode → decode → postprocess → (B, C, H, W) logits."""
+    params = dict(frozen_params)
+    params["decoder"] = decoder_params
+    b = embeddings.shape[0]
+    size = cfg.vision.image_size
+    if prompt_type == "points":
+        pts = rescale_coords(batch["prompts"], orig_hw, size)
+        sparse, dense = encode_prompts(
+            params, cfg, b,
+            points=pts, labels=batch["point_labels"],
+            dtype=embeddings.dtype,
+        )
+    else:
+        boxes = rescale_boxes(batch["prompts"], orig_hw, size)
+        sparse, dense = encode_prompts(
+            params, cfg, b, boxes=boxes, dtype=embeddings.dtype
+        )
+    pe = image_wide_pe(params, cfg)
+    low_res, _ = decode_masks(
+        params, cfg, embeddings, pe, sparse, dense, multimask_output=False
+    )
+    low_res = low_res[:, :, 0]  # (B, C, Gl, Gl) — squeeze(2) in the reference
+    return postprocess_masks(low_res, orig_hw, model_size=size)
+
+
+def _loss_from_masks(masks, batch, config: TrainConfig, pairing=None):
+    """DiceCE (+ topological) loss. The topological term uses the two-phase
+    pairing protocol (ops/topology.py): the combinatorial pairing arrives
+    precomputed in ``pairing`` because the axon TPU runtime cannot run host
+    callbacks inside jit."""
+    loss = dice_ce_loss(masks, batch["gt_masks"], batch["channel_mask"])
+    if config.topological and pairing is not None:
+        from ..ops.topology import topo_loss_from_pairing
+
+        loss = loss + topo_loss_from_pairing(
+            jax.nn.sigmoid(masks.astype(jnp.float32)),
+            pairing,
+            config.topo_lamda,
+            interp=config.topo_interp,
+            channel_mask=batch["channel_mask"],
+        )
+    return loss
+
+
+def make_train_step(
+    cfg: SamConfig,
+    config: TrainConfig,
+    optimizer,
+    orig_hw: tuple[int, int],
+    from_embeddings: bool,
+):
+    """Build the jitted train step. Two variants:
+
+    * from_embeddings=True: batch carries cached image embeddings.
+    * from_embeddings=False: batch carries uint8 images; the frozen encoder
+      runs inside the step (reference-exact path) under stop_gradient.
+    """
+    dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
+
+    def get_embeddings(decoder_params, frozen_params, batch):
+        if from_embeddings:
+            return batch["embeddings"].astype(dtype)
+        pix, _ = preprocess_image(
+            batch["image"], target_size=cfg.vision.image_size, dtype=dtype
+        )
+        params_f = dict(frozen_params)
+        params_f["decoder"] = decoder_params
+        return jax.lax.stop_gradient(
+            encode_image_microbatched(params_f, pix, cfg,
+                                      config.encoder_microbatch))
+
+    def loss_fn(decoder_params, frozen_params, embeddings, batch, pairing):
+        masks = _forward_from_embeddings(
+            decoder_params, frozen_params, cfg, embeddings, batch, orig_hw,
+            config.prompt_type,
+        )
+        return _loss_from_masks(masks, batch, config, pairing)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(decoder_params, opt_state, frozen_params, batch, pairing=None):
+        embeddings = get_embeddings(decoder_params, frozen_params, batch)
+        loss, grads = jax.value_and_grad(loss_fn)(
+            decoder_params, frozen_params, embeddings, batch, pairing
+        )
+        updates, opt_state = optimizer.update(
+            grads, opt_state, params=decoder_params
+        )
+        decoder_params = optax.apply_updates(decoder_params, updates)
+        return decoder_params, opt_state, loss
+
+    if not config.topological:
+        return step
+
+    # Two-phase topological mode: phase A produces the downsampled grids for
+    # the host pairing; phase B (`step`) consumes the pairing arrays.
+    @jax.jit
+    def fwd_grids(decoder_params, frozen_params, batch):
+        embeddings = get_embeddings(decoder_params, frozen_params, batch)
+        masks = _forward_from_embeddings(
+            decoder_params, frozen_params, cfg, embeddings, batch, orig_hw,
+            config.prompt_type,
+        )
+        from ..ops.topology import downsample_for_topo
+
+        return downsample_for_topo(
+            jax.nn.sigmoid(masks.astype(jnp.float32)),
+            batch["gt_masks"].astype(jnp.float32),
+            config.topo_interp,
+        )
+
+    def topo_step(decoder_params, opt_state, frozen_params, batch):
+        from ..ops.topology import host_pairing
+
+        pred50, true50 = fwd_grids(decoder_params, frozen_params, batch)
+        b, c = pred50.shape[:2]
+        pairing = host_pairing(
+            np.asarray(pred50).reshape(b * c, *pred50.shape[2:]),
+            np.asarray(true50).reshape(b * c, *true50.shape[2:]),
+            feat_d=config.topo_feat_d,
+        )
+        pairing = {k: jnp.asarray(v) for k, v in pairing.items()}
+        return step(decoder_params, opt_state, frozen_params, batch, pairing)
+
+    return topo_step
+
+
+def make_eval_step(cfg, config: TrainConfig, orig_hw, from_embeddings: bool):
+    dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
+
+    @jax.jit
+    def masks_fn(decoder_params, frozen_params, batch):
+        if from_embeddings:
+            embeddings = batch["embeddings"].astype(dtype)
+        else:
+            pix, _ = preprocess_image(
+                batch["image"], target_size=cfg.vision.image_size, dtype=dtype
+            )
+            params_f = dict(frozen_params)
+            params_f["decoder"] = decoder_params
+            embeddings = encode_image_microbatched(
+                params_f, pix, cfg, config.encoder_microbatch)
+        return _forward_from_embeddings(
+            decoder_params, frozen_params, cfg, embeddings, batch, orig_hw,
+            config.prompt_type,
+        )
+
+    @jax.jit
+    def loss_plain(masks, batch):
+        return _loss_from_masks(masks, batch, config, None)
+
+    def step(decoder_params, frozen_params, batch):
+        masks = masks_fn(decoder_params, frozen_params, batch)
+        if not config.topological:
+            return loss_plain(masks, batch)
+        from ..ops.topology import (
+            downsample_for_topo,
+            host_pairing,
+            topo_loss_from_pairing,
+        )
+
+        pred = jax.nn.sigmoid(masks.astype(jnp.float32))
+        pred50, true50 = downsample_for_topo(
+            pred, batch["gt_masks"].astype(jnp.float32), config.topo_interp
+        )
+        b, c = pred50.shape[:2]
+        pairing = host_pairing(
+            np.asarray(pred50).reshape(b * c, *pred50.shape[2:]),
+            np.asarray(true50).reshape(b * c, *true50.shape[2:]),
+            feat_d=config.topo_feat_d,
+        )
+        pairing = {k: jnp.asarray(v) for k, v in pairing.items()}
+        loss = loss_plain(masks, batch)
+        return loss + topo_loss_from_pairing(
+            pred, pairing, config.topo_lamda, interp=config.topo_interp,
+            channel_mask=batch["channel_mask"],
+        )
+
+    return step
+
+
+def precompute_embeddings(
+    params, cfg: SamConfig, dataset: PromptedDataset, *,
+    batch_size: int = 8, microbatch: int = 1, dtype=jnp.bfloat16,
+    verbose: bool = True,
+):
+    """Encode every image once (frozen encoder ⇒ constant across epochs).
+
+    Returns a device array (N, G, G, C) in ``dtype``. For 552 images of
+    ViT-B geometry this is ~1.1 GB bf16 — resident in HBM for the whole run.
+    """
+    encode = jax.jit(
+        lambda p, x: encode_image_microbatched(
+            p, x, cfg, microbatch).astype(dtype)
+    )
+    n = len(dataset)
+    outs = []
+    t0 = time.time()
+    for i0 in range(0, n, batch_size):
+        idx = range(i0, min(i0 + batch_size, n))
+        imgs = np.stack([dataset.image(i) for i in idx])
+        pix, _ = preprocess_image(jnp.asarray(imgs), target_size=cfg.vision.image_size, dtype=dtype)
+        outs.append(encode(params, pix))
+    emb = jnp.concatenate(outs, axis=0)
+    emb.block_until_ready()
+    if verbose:
+        print(f"[cache] encoded {n} images in {time.time() - t0:.1f}s "
+              f"({emb.nbytes / 2**20:.0f} MiB in HBM)")
+    return emb
+
+
+def training(config: TrainConfig, logger: MultiLogger | None = None) -> dict:
+    """Full training entry (reference: training(), training_utils.py:27-80).
+
+    Returns {'params', 'cfg', 'history', 'checkpoint_dir'}.
+    """
+    from ..data.store import load_split
+
+    if logger is None:
+        logger = make_logger(
+            jsonl_path=config.log_jsonl
+            or os.path.join(config.checkpoint, config.display_name, "metrics.jsonl"),
+            use_wandb=config.use_wandb,
+        )
+
+    cfg, params = prepare_model(config)
+    pseudo = config.pseudocolor
+    train_ds = PromptedDataset(
+        load_split(config.dataset, "train"),
+        prompt_type=config.prompt_type, pseudocolor=pseudo, seed=config.seed,
+    )
+    valid_ds = PromptedDataset(
+        load_split(config.dataset, "test"),
+        prompt_type=config.prompt_type, pseudocolor=pseudo, seed=config.seed + 1,
+    )
+    img0 = train_ds.image(0)
+    orig_hw = img0.shape[:2]
+
+    decoder_params, frozen_params = _split_params(params)
+    optimizer = make_optimizer(config)
+    opt_state = optimizer.init(decoder_params)
+
+    run_dir = os.path.join(config.checkpoint, config.display_name)
+    os.makedirs(run_dir, exist_ok=True)
+    start_epoch = 0
+    if config.resume:
+        restored, step_num = ckpt_utils.restore_checkpoint(
+            run_dir, target={"decoder": decoder_params,
+                             "opt_state": opt_state, "epoch": 0}
+        )
+        if restored is not None:
+            decoder_params = restored["decoder"]
+            opt_state = restored["opt_state"]
+            start_epoch = int(restored["epoch"]) + 1
+            print(f"[resume] from epoch {start_epoch}")
+
+    dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
+    use_cache = config.cache_embeddings
+    train_emb = valid_emb = None
+    if use_cache:
+        train_emb = precompute_embeddings(
+            params, cfg, train_ds, dtype=dtype,
+            microbatch=config.encoder_microbatch)
+        valid_emb = precompute_embeddings(
+            params, cfg, valid_ds, dtype=dtype,
+            microbatch=config.encoder_microbatch)
+
+    train_step = make_train_step(cfg, config, optimizer, orig_hw, use_cache)
+    eval_step = make_eval_step(cfg, config, orig_hw, use_cache)
+
+    def device_batch(batch, emb):
+        out = {
+            k: jnp.asarray(v)
+            for k, v in batch.items()
+            if k in ("prompts", "gt_masks", "channel_mask", "point_labels")
+        }
+        if use_cache:
+            out["embeddings"] = jnp.take(emb, jnp.asarray(batch["indices"]), axis=0)
+        else:
+            out["image"] = jnp.asarray(batch["image"])
+        return out
+
+    history = []
+    display = None
+    if config.display_mode != "none":
+        from .display import display_samples
+
+        display = display_samples
+
+    def run_display(epoch):
+        if display is None:
+            return
+        full = dict(frozen_params)
+        full["decoder"] = decoder_params
+        for split, ds in (("train", train_ds), ("test", valid_ds)):
+            display(full, cfg, config, ds, split, logger, run_dir,
+                    epoch=epoch, orig_hw=orig_hw)
+
+    run_display(start_epoch - 1)
+    for epoch in range(start_epoch, config.epochs):
+        t0 = time.time()
+        total, count = 0.0, 0
+        for batch in batches(
+            train_ds, config.batch_size,
+            shuffle=config.shuffle, seed=config.seed, epoch=epoch,
+            buckets=config.buckets, with_images=not use_cache,
+        ):
+            db = device_batch(batch, train_emb)
+            decoder_params, opt_state, loss = train_step(
+                decoder_params, opt_state, frozen_params, db
+            )
+            total += float(loss)
+            count += 1
+        train_loss = total / max(count, 1)
+        logger.log({"train/train_loss": train_loss, "train/epoch": epoch})
+
+        vtotal, vcount = 0.0, 0
+        for batch in batches(
+            valid_ds, config.batch_size, epoch=epoch, buckets=config.buckets,
+            with_images=not use_cache,
+        ):
+            db = device_batch(batch, valid_emb)
+            vtotal += float(eval_step(decoder_params, frozen_params, db))
+            vcount += 1
+        valid_loss = vtotal / max(vcount, 1)
+        logger.log({"val/valid_loss": valid_loss, "val/epoch": epoch})
+        dt = time.time() - t0
+        n_img = count * config.batch_size
+        print(
+            f"EPOCH: {epoch}, Train Loss: {train_loss:.4f}, "
+            f"Valid Loss: {valid_loss:.4f} ({dt:.1f}s, "
+            f"{n_img / dt:.1f} img/s)"
+        )
+        history.append({"epoch": epoch, "train_loss": train_loss,
+                        "valid_loss": valid_loss, "seconds": dt})
+        ckpt_utils.save_checkpoint(
+            run_dir, epoch,
+            {"decoder": decoder_params, "opt_state": opt_state, "epoch": epoch},
+        )
+        run_display(epoch)
+
+    params_final = dict(frozen_params)
+    params_final["decoder"] = decoder_params
+
+    # final checkpoint in the reference's naming scheme + .pt interop export
+    if config.export_pt:
+        final_name = f"{config.display_name}_{config.time or 'final'}"
+        try:
+            ckpt_utils.export_reference_pt(
+                params_final, cfg,
+                os.path.join(config.checkpoint, final_name + ".pt"),
+            )
+        except ImportError:
+            print("[ckpt] torch unavailable; skipped .pt export")
+
+    result = {
+        "params": params_final,
+        "cfg": cfg,
+        "history": history,
+        "checkpoint_dir": run_dir,
+    }
+    if config.evaluate:
+        from ..eval.harness import evaluate_metrics
+
+        result["metrics"] = evaluate_metrics(
+            params_final, cfg, config, valid_ds, orig_hw=orig_hw
+        )
+    logger.finish()
+    return result

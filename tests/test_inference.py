@@ -1,0 +1,107 @@
+"""Inference engine tests: segment API, encoder cache, ImagePrompter
+event parsing (app.py contract), eval harness smoke."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from dilabhelmholtzoct_tpu.inference.engine import (
+    SegmentationEngine,
+    parse_image_prompter_points,
+    point_marker,
+)
+from dilabhelmholtzoct_tpu.models.configs import sam_tiny
+from dilabhelmholtzoct_tpu.models.sam import init_params
+
+
+@pytest.fixture(scope="module")
+def engine():
+    cfg = sam_tiny(image_size=128)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    return SegmentationEngine(params, cfg)
+
+
+def test_segment_box_and_point(engine, rng):
+    img = rng.integers(0, 255, (64, 96, 3), dtype=np.uint8)
+    masks, probs = engine.segment(img, [10, 10, 50, 40], "bbox")
+    assert masks.shape == (1, 64, 96) and masks.dtype == np.uint8
+    assert probs.shape == (1, 64, 96)
+    assert set(np.unique(masks)) <= {0, 1}
+
+    masks_p, _ = engine.segment(img, [30, 20], "points")
+    assert masks_p.shape == (1, 64, 96)
+
+
+def test_encoder_cache_hit(engine, rng):
+    img = rng.integers(0, 255, (64, 96, 3), dtype=np.uint8)
+    engine._cache.clear()
+    engine.segment(img, [1, 1, 20, 20], "bbox")
+    assert len(engine._cache) == 1
+    engine.segment(img, [5, 5, 30, 30], "bbox")
+    assert len(engine._cache) == 1  # same image — no re-encode
+    img2 = rng.integers(0, 255, (64, 96, 3), dtype=np.uint8)
+    engine.segment(img2, [1, 1, 20, 20], "bbox")
+    assert len(engine._cache) == 2
+
+
+def test_multi_prompt_batch(engine, rng):
+    img = rng.integers(0, 255, (64, 96, 3), dtype=np.uint8)
+    masks, _ = engine.segment(
+        img, [[5, 5, 30, 30], [40, 10, 90, 50]], "bbox"
+    )
+    assert masks.shape == (2, 64, 96)
+
+
+def test_parse_image_prompter_events():
+    events = [
+        [10, 20, 1, 0, 0, 1],      # point (idx 3,4 == 0)
+        [10, 20, 1, 50, 60, 1],    # box
+    ]
+    parsed = parse_image_prompter_points(events)
+    assert parsed[0] == ("points", [10, 20])
+    assert parsed[1] == ("bbox", [10, 20, 50, 60])
+
+
+def test_point_marker():
+    m = point_marker((32, 32), 5, 7)
+    assert m[7, 5] == 1 and m[6, 4] == 1 and m[8, 6] == 1
+    assert m.sum() == 9
+
+
+def test_segment_event_mixed(engine, rng):
+    from dilabhelmholtzoct_tpu.inference.app import segment_event
+
+    img = rng.integers(0, 255, (64, 96, 3), dtype=np.uint8)
+    out_img, masks = segment_event(
+        engine, {"image": img, "points": [[10, 20, 1, 0, 0, 1],
+                                          [5, 5, 1, 40, 40, 1]]}
+    )
+    labels = [label for _, label in masks]
+    assert labels == ["point", "mask", "box", "mask"]
+
+
+def test_eval_harness_smoke(engine, rng):
+    """evaluate_metrics runs over a tiny prompted dataset and reports."""
+    from dilabhelmholtzoct_tpu.eval.harness import evaluate_metrics
+    from dilabhelmholtzoct_tpu.data.pipeline import PromptedDataset
+    from dilabhelmholtzoct_tpu.train.trainer import TrainConfig
+
+    items = []
+    for i in range(3):
+        lbl = np.zeros((64, 96), np.uint8)
+        lbl[10:30, 10:40] = 1
+        lbl[40:60, 50:80] = 2
+        items.append({
+            "image": rng.integers(0, 255, (64, 96, 3), dtype=np.uint8),
+            "label": lbl,
+        })
+    ds = PromptedDataset(items, prompt_type="bboxes", seed=0)
+    config = TrainConfig(mask_dict={0: "bg", 1: "a", 2: "b"})
+    report = evaluate_metrics(
+        engine.params, engine.cfg, config, ds, orig_hw=(64, 96),
+        num_classes=3,
+    )
+    assert "_means" in report and "_global" in report
+    assert np.isfinite(report["_means"]["dice"])
+    assert "a" in report and "iou" in report["a"]

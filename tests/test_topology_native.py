@@ -1,0 +1,59 @@
+"""C++ persistence engine vs Python reference: bar-for-bar equality."""
+
+import numpy as np
+import pytest
+
+from dilabhelmholtzoct_tpu.ops import native
+from dilabhelmholtzoct_tpu.ops.topology_ref import cubical_pairs
+
+
+@pytest.mark.skipif(not native.have_native(), reason="native lib unavailable")
+@pytest.mark.parametrize("seed", range(6))
+def test_native_matches_reference(seed):
+    rng = np.random.default_rng(seed)
+    grids = rng.random((3, 17, 13)).astype(np.float32)
+    out = native.cubical_pairs_batch(grids, max_bars=64)
+    for g in range(len(grids)):
+        ref = cubical_pairs(grids[g])
+        for dim in (0, 1):
+            k = out["counts"][g, dim]
+            got = set(
+                zip(out[f"h{dim}_birth"][g, :k], out[f"h{dim}_death"][g, :k])
+            )
+            want = set(map(tuple, ref[f"h{dim}"]))
+            assert got == want, f"grid {g} H{dim}"
+        assert out["h0_essential"][g] == ref["h0_essential"]
+
+
+@pytest.mark.skipif(not native.have_native(), reason="native lib unavailable")
+def test_native_cap_keeps_most_persistent():
+    rng = np.random.default_rng(0)
+    grid = rng.random((20, 20)).astype(np.float32)
+    full = native.cubical_pairs_batch(grid[None], max_bars=256)
+    capped = native.cubical_pairs_batch(grid[None], max_bars=3)
+    flat = grid.reshape(-1)
+    k_full = full["counts"][0, 1]
+    pers = np.abs(
+        flat[full["h1_death"][0, :k_full]] - flat[full["h1_birth"][0, :k_full]]
+    )
+    top3 = set(np.sort(pers)[-3:].round(7))
+    k_c = capped["counts"][0, 1]
+    got = set(
+        np.abs(
+            flat[capped["h1_death"][0, :k_c]] - flat[capped["h1_birth"][0, :k_c]]
+        ).round(7)
+    )
+    assert got == top3
+
+
+def test_python_fallback_matches_reference(monkeypatch):
+    """Force the fallback path and check it agrees with the reference."""
+    monkeypatch.setattr(native, "_load", lambda: None)
+    rng = np.random.default_rng(1)
+    grids = rng.random((2, 9, 11)).astype(np.float32)
+    out = native.cubical_pairs_batch(grids, max_bars=64)
+    for g in range(2):
+        ref = cubical_pairs(grids[g])
+        k = out["counts"][g, 1]
+        got = set(zip(out["h1_birth"][g, :k], out["h1_death"][g, :k]))
+        assert got == set(map(tuple, ref["h1"]))
