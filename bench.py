@@ -69,13 +69,17 @@ def main():
     }
 
     def bench_step(config, batch, tag):
+        import jax.numpy as jnp
+
+        # fresh copy: the jitted step donates its params/opt-state buffers
+        dec = jax.tree_util.tree_map(jnp.copy, decoder_params)
         optimizer = make_optimizer(config)
-        opt_state = optimizer.init(decoder_params)
+        opt_state = optimizer.init(dec)
         step = make_train_step(
             cfg, config, optimizer, orig_hw,
             from_embeddings=config.cache_embeddings,
         )
-        dec, opt = decoder_params, opt_state
+        opt = opt_state
         t0 = time.time()
         dec, opt, loss = step(dec, opt, frozen_params, batch)
         jax.block_until_ready(loss)
@@ -95,10 +99,11 @@ def main():
         )
         return BATCH / dt
 
-    # full reference-equivalent step (encoder inside)
+    # full reference-equivalent step (encoder inside); flash attention keeps
+    # the whole batch resident (no O(N^2) bias), so no microbatching needed
     full_cfg = TrainConfig(
         compute_dtype="bfloat16", cache_embeddings=False,
-        batch_size=BATCH,
+        batch_size=BATCH, encoder_microbatch=BATCH,
     )
     img_s = bench_step(full_cfg, batch, "full step (bf16 encoder)")
 

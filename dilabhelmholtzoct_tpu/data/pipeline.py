@@ -33,6 +33,7 @@ class PromptedDataset:
         prompt_type: str = "bboxes",
         pseudocolor: str | None = None,
         seed: int = 0,
+        augment=None,
     ):
         self.dataset = dataset
         self.prompt_type = prompt_type
@@ -41,6 +42,7 @@ class PromptedDataset:
         )
         self._seed = seed
         self._epoch = 0
+        self.augment = augment  # data/augment.Augmenter or None
 
     def __len__(self):
         return len(self.dataset)
@@ -62,17 +64,26 @@ class PromptedDataset:
         )
 
     def sample(self, idx: int) -> PromptedSample:
-        """Prompts only — skips image decode (embedding-cache train path)."""
+        """Prompts only — skips image decode (embedding-cache train path).
+        Unavailable with augmentation enabled (augmented geometry changes
+        the image the cached embedding was computed from)."""
+        assert self.augment is None, (
+            "embedding cache is incompatible with data augmentation; "
+            "set cache_embeddings=False"
+        )
         _, label = item_arrays(self.dataset[int(idx)])
         return sample_prompts(label, self.prompt_type, self._rng(idx))
 
     def __getitem__(self, idx: int) -> tuple[np.ndarray, PromptedSample]:
         image, label = item_arrays(self.dataset[int(idx)])
+        rng = self._rng(idx)
+        if self.augment is not None:
+            image, label = self.augment(image, label, rng)
         if self.pseudocolor is not None:
             from ..ops.preprocess import colormap_lut
 
             image = colormap_lut(self.pseudocolor)[image[:, :, 0]]
-        return image, sample_prompts(label, self.prompt_type, self._rng(idx))
+        return image, sample_prompts(label, self.prompt_type, rng)
 
 
 def batches(

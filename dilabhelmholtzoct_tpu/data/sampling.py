@@ -50,8 +50,12 @@ class PromptedSample:
 
 
 def label_components(binary_mask: np.ndarray):
-    """8-connected component labeling (scipy, 3x3 ones structure)."""
-    return ndimage.label(binary_mask, _STRUCTURE)
+    """8-connected component labeling (3x3 ones structure). Uses the C++
+    union-find engine (ops/native.py) — bit-identical to
+    ``scipy.ndimage.label`` — with scipy as fallback."""
+    from ..ops.native import label_components_8
+
+    return label_components_8(binary_mask)
 
 
 def sample_prompts(

@@ -50,6 +50,11 @@ def _load():
         ctypes.POINTER(ctypes.c_int32),  # h0_essential
     ]
     lib.cubical_pairs_batch.restype = None
+    lib.label_components_8.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.label_components_8.restype = ctypes.c_int32
     _lib = lib
     return _lib
 
@@ -60,6 +65,27 @@ def have_native() -> bool:
 
 def _ptr(a, typ):
     return a.ctypes.data_as(ctypes.POINTER(typ))
+
+
+def label_components_8(mask: np.ndarray):
+    """8-connected component labeling; identical output to
+    ``scipy.ndimage.label(mask, ones((3,3)))`` (C++ fast path, scipy
+    fallback). Returns (labels int32 (H, W), n_components)."""
+    lib = _load()
+    if lib is None:
+        from scipy import ndimage
+
+        labels, n = ndimage.label(
+            np.ascontiguousarray(mask), np.ones((3, 3), np.int32)
+        )
+        return labels.astype(np.int32), int(n)
+    mask8 = np.ascontiguousarray(mask != 0).astype(np.uint8)
+    out = np.empty(mask8.shape, np.int32)
+    n = lib.label_components_8(
+        _ptr(mask8, ctypes.c_uint8), mask8.shape[0], mask8.shape[1],
+        _ptr(out, ctypes.c_int32),
+    )
+    return out, int(n)
 
 
 def cubical_pairs_batch(grids: np.ndarray, max_bars: int = 32):

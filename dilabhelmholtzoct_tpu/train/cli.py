@@ -91,6 +91,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--top", action="store_true")
     # TPU-native knobs
     p.add_argument("--cache_embeddings", type=_str2bool, default=True)
+    p.add_argument("--data_transforms", type=str, default="",
+                   help="comma list of augment ops (hflip,vflip,brightness,"
+                        "contrast,gaussian_noise,shift); working equivalent "
+                        "of the reference's dormant albumentations hook")
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--seed", type=int, default=0)
@@ -138,7 +142,11 @@ def config_from_args(args) -> TrainConfig:
         display_val_nr=args.display_val_nr,
         mask_dict=dict(CUSTOM_MASK_DICT) if args.dataset == "custom" else {},
         pretrained_checkpoint=args.pretrained_checkpoint,
-        cache_embeddings=args.cache_embeddings,
+        cache_embeddings=(args.cache_embeddings
+                          and not args.data_transforms),
+        data_transforms=tuple(
+            x.strip() for x in args.data_transforms.split(",") if x.strip()
+        ),
         compute_dtype=args.compute_dtype,
         seed=args.seed,
         resume=args.resume,

@@ -26,6 +26,7 @@ TPU-first design differences (documented divergences):
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import os
 import time
@@ -96,6 +97,9 @@ class TrainConfig:
     topo_interp: int = 50
     export_pt: bool = False  # write reference-format .pt (imports torch)
     encoder_microbatch: int = 1  # images encoded per sequential chunk
+    data_transforms: tuple[str, ...] = ()  # augment ops (train split only)
+    data_parallel: bool = True  # shard batches over all local devices
+    profile_dir: str | None = None  # capture an XLA trace of epoch 0
     # parity mode: recompute the encoder inside every step like the reference
     # (cache_embeddings=False) is triggered via that flag.
 
@@ -380,9 +384,20 @@ def training(config: TrainConfig, logger: MultiLogger | None = None) -> dict:
 
     cfg, params = prepare_model(config)
     pseudo = config.pseudocolor
+    augment = None
+    if config.data_transforms:
+        from ..data.augment import make_augmenter
+
+        augment = make_augmenter(config.data_transforms)
+        if config.cache_embeddings:
+            raise ValueError(
+                "data_transforms requires cache_embeddings=False (augmented "
+                "images invalidate cached encoder outputs)"
+            )
     train_ds = PromptedDataset(
         load_split(config.dataset, "train"),
         prompt_type=config.prompt_type, pseudocolor=pseudo, seed=config.seed,
+        augment=augment,
     )
     valid_ds = PromptedDataset(
         load_split(config.dataset, "test"),
@@ -423,16 +438,46 @@ def training(config: TrainConfig, logger: MultiLogger | None = None) -> dict:
     train_step = make_train_step(cfg, config, optimizer, orig_hw, use_cache)
     eval_step = make_eval_step(cfg, config, orig_hw, use_cache)
 
+    # Data parallelism: batch sharded over a ('data',) mesh of all local
+    # devices; params replicated; XLA SPMD inserts the gradient all-reduce
+    # over ICI (SURVEY.md §2.3 — the reference is strictly single-device).
+    mesh = None
+    if config.data_parallel and len(jax.devices()) > 1:
+        from ..parallel.mesh import (
+            data_sharding, make_mesh, pad_to_multiple, replicate,
+        )
+
+        mesh = make_mesh()
+        n_dev = len(jax.devices())
+        decoder_params = replicate(decoder_params, mesh)
+        opt_state = replicate(opt_state, mesh)
+        frozen_params = replicate(frozen_params, mesh)
+        batch_sharding = data_sharding(mesh)
+        print(f"[dp] data-parallel over {n_dev} devices")
+
     def device_batch(batch, emb):
-        out = {
-            k: jnp.asarray(v)
-            for k, v in batch.items()
-            if k in ("prompts", "gt_masks", "channel_mask", "point_labels")
-        }
-        if use_cache:
-            out["embeddings"] = jnp.take(emb, jnp.asarray(batch["indices"]), axis=0)
+        keys = ("prompts", "gt_masks", "channel_mask", "point_labels")
+        if mesh is not None:
+            from ..parallel.mesh import pad_to_multiple
+
+            batch, _ = pad_to_multiple(
+                {k: v for k, v in batch.items()
+                 if k in keys + ("indices", "image")},
+                len(jax.devices()),
+            )
+            put = lambda v: jax.device_put(jnp.asarray(v), batch_sharding)
         else:
-            out["image"] = jnp.asarray(batch["image"])
+            put = jnp.asarray
+        out = {k: put(v) for k, v in batch.items() if k in keys}
+        if use_cache:
+            idx = jnp.asarray(batch["indices"])
+            emb_rows = jnp.take(emb, idx, axis=0)
+            out["embeddings"] = (
+                jax.device_put(emb_rows, batch_sharding)
+                if mesh is not None else emb_rows
+            )
+        else:
+            out["image"] = put(batch["image"])
         return out
 
     history = []
@@ -451,23 +496,34 @@ def training(config: TrainConfig, logger: MultiLogger | None = None) -> dict:
             display(full, cfg, config, ds, split, logger, run_dir,
                     epoch=epoch, orig_hw=orig_hw)
 
+    from ..utils.profiling import StepTimer, profile_trace
+
+    timer = StepTimer(logger, prefix="perf/train")
     run_display(start_epoch - 1)
     for epoch in range(start_epoch, config.epochs):
         t0 = time.time()
         total, count = 0.0, 0
-        for batch in batches(
-            train_ds, config.batch_size,
-            shuffle=config.shuffle, seed=config.seed, epoch=epoch,
-            buckets=config.buckets, with_images=not use_cache,
-        ):
-            db = device_batch(batch, train_emb)
-            decoder_params, opt_state, loss = train_step(
-                decoder_params, opt_state, frozen_params, db
-            )
-            total += float(loss)
-            count += 1
+        trace_ctx = (
+            profile_trace(config.profile_dir)
+            if epoch == start_epoch and config.profile_dir
+            else contextlib.nullcontext()
+        )
+        with trace_ctx:
+            for batch in batches(
+                train_ds, config.batch_size,
+                shuffle=config.shuffle, seed=config.seed, epoch=epoch,
+                buckets=config.buckets, with_images=not use_cache,
+            ):
+                db = device_batch(batch, train_emb)
+                with timer:
+                    decoder_params, opt_state, loss = train_step(
+                        decoder_params, opt_state, frozen_params, db
+                    )
+                    total += float(loss)
+                count += 1
         train_loss = total / max(count, 1)
         logger.log({"train/train_loss": train_loss, "train/epoch": epoch})
+        timer.log_summary()
 
         vtotal, vcount = 0.0, 0
         for batch in batches(

@@ -161,4 +161,55 @@ void cubical_pairs_batch(const float* grids, int n_grids, int h, int w,
   }
 }
 
+// 8-connected component labeling of a binary mask (scipy.ndimage.label with
+// a 3x3 ones structure — the reference's component extraction,
+// octsam/models/training_utils.py:391,399). Labels are assigned 1..n in
+// row-major order of each component's first pixel, matching scipy's output
+// exactly (verified in tests/test_topology_native.py). Returns n.
+int32_t label_components_8(const uint8_t* mask, int h, int w,
+                           int32_t* labels_out) {
+  const int n = h * w;
+  std::vector<int32_t> parent(n, -1);
+  auto find = [&](int32_t x) {
+    int32_t root = x;
+    while (parent[root] != root) root = parent[root];
+    while (parent[x] != root) {
+      int32_t nxt = parent[x];
+      parent[x] = root;
+      x = nxt;
+    }
+    return root;
+  };
+  // single forward pass: union with already-visited neighbors (N, NW, NE, W)
+  for (int y = 0; y < h; ++y) {
+    for (int x = 0; x < w; ++x) {
+      const int32_t p = y * w + x;
+      if (!mask[p]) continue;
+      parent[p] = p;
+      const int dy[] = {-1, -1, -1, 0};
+      const int dx[] = {-1, 0, 1, -1};
+      for (int k = 0; k < 4; ++k) {
+        const int ny = y + dy[k], nx = x + dx[k];
+        if (ny < 0 || nx < 0 || nx >= w) continue;
+        const int32_t q = ny * w + nx;
+        if (parent[q] == -1) continue;
+        int32_t r1 = find(p), r2 = find(q);
+        if (r1 != r2) parent[std::max(r1, r2)] = std::min(r1, r2);
+      }
+    }
+  }
+  std::vector<int32_t> remap(n, 0);
+  int32_t next_label = 0;
+  for (int32_t p = 0; p < n; ++p) {
+    if (parent[p] == -1) {
+      labels_out[p] = 0;
+      continue;
+    }
+    const int32_t r = find(p);
+    if (remap[r] == 0) remap[r] = ++next_label;
+    labels_out[p] = remap[r];
+  }
+  return next_label;
+}
+
 }  // extern "C"

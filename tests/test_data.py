@@ -168,3 +168,35 @@ def test_pipeline_batches():
     np.testing.assert_array_equal(got[0]["prompts"], again[0]["prompts"])
     ep1 = list(batches(ds, batch_size=4, epoch=1, num_workers=2))
     assert not np.array_equal(got[0]["prompts"], ep1[0]["prompts"])
+
+
+def test_augmentation_pipeline(rng):
+    from dilabhelmholtzoct_tpu.data.augment import Augmenter, make_augmenter
+    from dilabhelmholtzoct_tpu.data.pipeline import PromptedDataset
+
+    assert make_augmenter(()) is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        Augmenter(["nope"])
+
+    aug = Augmenter(["hflip", "brightness", "gaussian_noise", "shift"], p=1.0)
+    img = rng.integers(0, 255, (32, 40, 3), dtype=np.uint8)
+    mask = np.zeros((32, 40), np.uint8)
+    mask[5:15, 5:15] = 3
+    out_i, out_m = aug(img, mask, np.random.default_rng(0))
+    assert out_i.shape == img.shape and out_m.shape == mask.shape
+    assert set(np.unique(out_m)) <= {0, 3}  # labels never interpolated
+
+    # deterministic given the rng, and geometric ops move img & mask together
+    flip = Augmenter(["hflip"], p=1.0)
+    fi, fm = flip(img, mask, np.random.default_rng(1))
+    np.testing.assert_array_equal(fi, img[:, ::-1])
+    np.testing.assert_array_equal(fm, mask[:, ::-1])
+
+    # dataset integration: augmented __getitem__ works, .sample() refuses
+    ds = PromptedDataset([{"image": img, "label": mask}], augment=aug, seed=0)
+    image, s = ds[0]
+    assert s.n >= 1
+    with _pytest.raises(AssertionError):
+        ds.sample(0)

@@ -57,3 +57,17 @@ def test_python_fallback_matches_reference(monkeypatch):
         k = out["counts"][g, 1]
         got = set(zip(out["h1_birth"][g, :k], out["h1_death"][g, :k]))
         assert got == set(map(tuple, ref["h1"]))
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_native_ccl_matches_scipy(seed):
+    from scipy import ndimage
+
+    from dilabhelmholtzoct_tpu.ops.native import label_components_8
+
+    rng = np.random.default_rng(seed)
+    m = (rng.random((41, 29)) > 0.55).astype(np.uint8)
+    got, n = label_components_8(m)
+    want, n_want = ndimage.label(m, np.ones((3, 3), np.int32))
+    assert n == n_want
+    np.testing.assert_array_equal(got, want)

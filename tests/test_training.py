@@ -142,3 +142,34 @@ def test_training_topological(tmp_path, dataset_dir):
     result = training(cfg)
     assert np.isfinite(result["history"][0]["train_loss"])
     assert np.isfinite(result["history"][0]["valid_loss"])
+
+
+def test_training_data_parallel_8dev(tmp_path, dataset_dir):
+    """Auto-DP over the 8 fake CPU devices: batch sharded, params
+    replicated, loss finite and equal to single-device math."""
+    import jax
+
+    assert len(jax.devices()) == 8
+    cfg = _base_config(
+        tmp_path, dataset_dir, epochs=1, batch_size=4, data_parallel=True,
+        shuffle=False, display_name="dp",
+    )
+    r_dp = training(cfg)
+    cfg2 = _base_config(
+        tmp_path, dataset_dir, epochs=1, batch_size=4, data_parallel=False,
+        shuffle=False, display_name="nodp",
+    )
+    r_sd = training(cfg2)
+    np.testing.assert_allclose(
+        r_dp["history"][0]["train_loss"], r_sd["history"][0]["train_loss"],
+        rtol=1e-4,
+    )
+
+
+def test_training_with_augmentation(tmp_path, dataset_dir):
+    cfg = _base_config(
+        tmp_path, dataset_dir, epochs=1, cache_embeddings=False,
+        data_transforms=("hflip", "brightness"),
+    )
+    result = training(cfg)
+    assert np.isfinite(result["history"][0]["train_loss"])
