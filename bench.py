@@ -36,6 +36,10 @@ ITERS = 20
 
 def main():
     import jax
+
+    from dilabhelmholtzoct_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from dilabhelmholtzoct_tpu.models import sam_vit_base, init_params
@@ -82,15 +86,17 @@ def main():
         opt = opt_state
         t0 = time.time()
         dec, opt, loss = step(dec, opt, frozen_params, batch)
-        jax.block_until_ready(loss)
+        # block on EVERY output: the axon runtime can surface the scalar
+        # loss before the full program retires, which understates step time
+        jax.block_until_ready((dec, opt, loss))
         compile_s = time.time() - t0
         for _ in range(WARMUP):
             dec, opt, loss = step(dec, opt, frozen_params, batch)
-        jax.block_until_ready(loss)
+        jax.block_until_ready((dec, opt, loss))
         t0 = time.time()
         for _ in range(ITERS):
             dec, opt, loss = step(dec, opt, frozen_params, batch)
-        jax.block_until_ready(loss)
+        jax.block_until_ready((dec, opt, loss))
         dt = (time.time() - t0) / ITERS
         print(
             f"[bench] {tag}: {dt * 1e3:.1f} ms/step "
@@ -118,6 +124,29 @@ def main():
         rng.normal(size=(BATCH, g, g, 256)), jnp.bfloat16
     )
     bench_step(cached_cfg, cached_batch, "cached-embedding step")
+
+    # interactive serving path (BASELINE.md configs 1 & 5): encoder once per
+    # image, decoder per prompt — the engine's cache pattern
+    from dilabhelmholtzoct_tpu.inference.engine import SegmentationEngine
+
+    engine = SegmentationEngine(
+        jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params), cfg
+    )
+    img = np.asarray(batch["image"][0], np.uint8)
+    engine.segment(img, [10, 10, 400, 300])  # compile + encode
+    t0 = time.time()
+    for i in range(10):
+        engine.segment(img, [10 + i, 10, 400, 300 + i])
+    per_prompt = (time.time() - t0) / 10
+    engine._cache.clear()
+    t0 = time.time()
+    engine.segment(img, [10, 10, 400, 300])
+    cold = time.time() - t0
+    print(
+        f"[bench] serving: cold (encode+decode) {cold * 1e3:.0f} ms, "
+        f"cached prompt-to-mask {per_prompt * 1e3:.1f} ms",
+        file=sys.stderr,
+    )
 
     print(json.dumps({
         "metric": "vitb_decoder_finetune_throughput",

@@ -156,6 +156,9 @@ def config_from_args(args) -> TrainConfig:
 
 
 def main(argv=None):
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     config = config_from_args(args)
     print("CONFIG:", config)
