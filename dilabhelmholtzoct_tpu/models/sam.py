@@ -118,7 +118,10 @@ def _decomposed_rel_pos_bias(q, rel_pos_h, rel_pos_w, hw):
 # Pallas streaming kernel (ops/attention.py) on non-CPU backends for large
 # token counts — the materialized (N, N) bias path OOMs batched 1024² inputs.
 _FLASH_MODE = "auto"
-_FLASH_MIN_TOKENS = 1024
+# Covers SAM's 14x14=196-token windows too: measured 20% faster than the
+# materialized-bias XLA path even at window scale (B=8 encoder on v5e:
+# 201ms flash-everywhere vs 241ms flash-global-only).
+_FLASH_MIN_TOKENS = 196
 
 
 def set_flash_attention(mode: str):
