@@ -228,12 +228,14 @@ def vision_layer(x, p, cfg: VisionConfig, window_size: int):
     return x + y
 
 
-def encode_image(params, pixel_values, cfg: SamConfig):
+def encode_image(params, pixel_values, cfg: SamConfig, *, remat: bool = False):
     """Run the ViTDet encoder.
 
     pixel_values: (B, H, W, 3) NHWC, already preprocessed (normalized, padded
     to cfg.vision.image_size).
     Returns image embeddings (B, G, G, output_channels), NHWC.
+    remat=True checkpoints each transformer layer — required memory headroom
+    for encoder fine-tuning (full backward) at 1024² inputs.
     """
     v = cfg.vision
     p = params["vision"]
@@ -248,7 +250,12 @@ def encode_image(params, pixel_values, cfg: SamConfig):
         x = x + p["pos_embed"].astype(x.dtype)
     for i in range(v.num_layers):
         ws = 0 if i in v.global_attn_indexes else v.window_size
-        x = vision_layer(x, p["layers"][i], v, ws)
+        if remat:
+            x = jax.checkpoint(
+                partial(vision_layer, cfg=v, window_size=ws)
+            )(x, p["layers"][i])
+        else:
+            x = vision_layer(x, p["layers"][i], v, ws)
     # Neck: 1x1 conv → LN(channel) → 3x3 conv → LN(channel); both convs
     # bias-free. 1x1 conv is a channel matmul in NHWC.
     n = p["neck"]

@@ -97,6 +97,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "of the reference's dormant albumentations hook")
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
+    p.add_argument("--trainable", type=str, default="decoder",
+                   choices=["decoder", "all"],
+                   help="'all' = full fine-tune incl. encoder (remat)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--resume", type=_str2bool, default=False)
     return p
@@ -143,11 +146,13 @@ def config_from_args(args) -> TrainConfig:
         mask_dict=dict(CUSTOM_MASK_DICT) if args.dataset == "custom" else {},
         pretrained_checkpoint=args.pretrained_checkpoint,
         cache_embeddings=(args.cache_embeddings
-                          and not args.data_transforms),
+                          and not args.data_transforms
+                          and args.trainable == "decoder"),
         data_transforms=tuple(
             x.strip() for x in args.data_transforms.split(",") if x.strip()
         ),
         compute_dtype=args.compute_dtype,
+        trainable=args.trainable,
         seed=args.seed,
         resume=args.resume,
         use_wandb=args.wandb,

@@ -67,29 +67,17 @@ def display_samples(
     out_dir = os.path.join(run_dir, "display")
     os.makedirs(out_dir, exist_ok=True)
     images_logged = []
-    size = cfg.vision.image_size
+    # jitted + bucketed inference (shared with the eval harness); argmax over
+    # sigmoid probs == argmax over logits, so the class map is identical
+    from ..eval.harness import make_infer_fn
+
+    infer = make_infer_fn(params, cfg, config, orig_hw)
     for i in indices:
         image, sample = dataset[i]
         if sample.n == 0:
             continue
-        pix, _ = preprocess_image(jnp.asarray(image[None]), target_size=size)
-        if config.prompt_type == "points":
-            out = sam_forward(
-                params, cfg, pixel_values=pix,
-                points=rescale_coords(jnp.asarray(sample.bboxes[None]), orig_hw, size),
-                labels=jnp.ones(sample.bboxes.shape[:2], jnp.int32)[None],
-                multimask_output=False,
-            )
-        else:
-            out = sam_forward(
-                params, cfg, pixel_values=pix,
-                boxes=rescale_boxes(jnp.asarray(sample.bboxes[None]), orig_hw, size),
-                multimask_output=False,
-            )
-        logits = np.asarray(
-            postprocess_masks(out["pred_masks"][:, :, 0], orig_hw, model_size=size)[0]
-        )
-        pred_map = _class_map(logits, sample.mask_values)
+        probs = infer(image, sample)
+        pred_map = _class_map(probs, sample.mask_values)
         gt_map = _class_map(sample.gt_masks, sample.mask_values)
 
         try:

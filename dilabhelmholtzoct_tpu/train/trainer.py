@@ -99,6 +99,11 @@ class TrainConfig:
     encoder_microbatch: int = 1  # images encoded per sequential chunk
     data_transforms: tuple[str, ...] = ()  # augment ops (train split only)
     data_parallel: bool = True  # shard batches over all local devices
+    trainable: str = "decoder"  # "decoder" (reference parity) | "all"
+    #   "all" unfreezes the encoders (BASELINE.md config 5, e.g. ViT-L
+    #   encoder fine-tune): requires cache_embeddings=False; encoder runs
+    #   with layer remat and the XLA attention path (the flash kernel is
+    #   forward-only).
     profile_dir: str | None = None  # capture an XLA trace of epoch 0
     # parity mode: recompute the encoder inside every step like the reference
     # (cache_embeddings=False) is triggered via that flag.
@@ -121,13 +126,26 @@ def prepare_model(config: TrainConfig) -> tuple[SamConfig, dict]:
     return cfg, params
 
 
-def _split_params(params: dict) -> tuple[dict, dict]:
-    """(trainable decoder subtree, frozen rest). Mirrors the reference's
-    optimizer scope ``model.mask_decoder.parameters()`` (training_utils.py:31)
-    and frozen vision/prompt encoders (training_utils.py:277-279)."""
+def _split_params(params: dict, trainable: str = "decoder") -> tuple[dict, dict]:
+    """(trainable subtree, frozen rest).
+
+    "decoder" mirrors the reference's optimizer scope
+    ``model.mask_decoder.parameters()`` (training_utils.py:31) with frozen
+    vision/prompt encoders (training_utils.py:277-279); "all" trains the
+    whole model (encoder fine-tuning)."""
+    if trainable == "all":
+        return params, {}
     decoder = params["decoder"]
     frozen = {k: v for k, v in params.items() if k != "decoder"}
     return decoder, frozen
+
+
+def _merge_params(trainable_tree: dict, frozen: dict) -> dict:
+    if not frozen:
+        return trainable_tree
+    params = dict(frozen)
+    params["decoder"] = trainable_tree
+    return params
 
 
 def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
@@ -159,8 +177,7 @@ def _forward_from_embeddings(
     prompt_type: str,
 ):
     """Prompt-encode → decode → postprocess → (B, C, H, W) logits."""
-    params = dict(frozen_params)
-    params["decoder"] = decoder_params
+    params = _merge_params(decoder_params, frozen_params)
     b = embeddings.shape[0]
     size = cfg.vision.image_size
     if prompt_type == "points":
@@ -217,19 +234,35 @@ def make_train_step(
     """
     dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
 
+    train_encoder = config.trainable == "all"
+
     def get_embeddings(decoder_params, frozen_params, batch):
         if from_embeddings:
             return batch["embeddings"].astype(dtype)
         pix, _ = preprocess_image(
             batch["image"], target_size=cfg.vision.image_size, dtype=dtype
         )
-        params_f = dict(frozen_params)
-        params_f["decoder"] = decoder_params
+        params_f = _merge_params(decoder_params, frozen_params)
+        if train_encoder:
+            # gradient flows through the encoder: remat each layer and use
+            # the XLA attention path (flash kernel is forward-only)
+            from ..models import sam as sam_mod
+
+            prev = sam_mod._FLASH_MODE
+            sam_mod.set_flash_attention("off")
+            try:
+                emb = encode_image(params_f, pix, cfg, remat=True)
+            finally:
+                sam_mod.set_flash_attention(prev)
+            return emb
         return jax.lax.stop_gradient(
             encode_image_microbatched(params_f, pix, cfg,
                                       config.encoder_microbatch))
 
     def loss_fn(decoder_params, frozen_params, embeddings, batch, pairing):
+        if embeddings is None:
+            # trainable='all': the encoder must run INSIDE the grad closure
+            embeddings = get_embeddings(decoder_params, frozen_params, batch)
         masks = _forward_from_embeddings(
             decoder_params, frozen_params, cfg, embeddings, batch, orig_hw,
             config.prompt_type,
@@ -238,7 +271,10 @@ def make_train_step(
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(decoder_params, opt_state, frozen_params, batch, pairing=None):
-        embeddings = get_embeddings(decoder_params, frozen_params, batch)
+        embeddings = (
+            None if train_encoder
+            else get_embeddings(decoder_params, frozen_params, batch)
+        )
         loss, grads = jax.value_and_grad(loss_fn)(
             decoder_params, frozen_params, embeddings, batch, pairing
         )
@@ -295,8 +331,7 @@ def make_eval_step(cfg, config: TrainConfig, orig_hw, from_embeddings: bool):
             pix, _ = preprocess_image(
                 batch["image"], target_size=cfg.vision.image_size, dtype=dtype
             )
-            params_f = dict(frozen_params)
-            params_f["decoder"] = decoder_params
+            params_f = _merge_params(decoder_params, frozen_params)
             embeddings = encode_image_microbatched(
                 params_f, pix, cfg, config.encoder_microbatch)
         return _forward_from_embeddings(
@@ -406,7 +441,12 @@ def training(config: TrainConfig, logger: MultiLogger | None = None) -> dict:
     img0 = train_ds.image(0)
     orig_hw = img0.shape[:2]
 
-    decoder_params, frozen_params = _split_params(params)
+    if config.trainable == "all" and config.cache_embeddings:
+        raise ValueError(
+            "trainable='all' requires cache_embeddings=False (the encoder "
+            "output is no longer constant)"
+        )
+    decoder_params, frozen_params = _split_params(params, config.trainable)
     optimizer = make_optimizer(config)
     opt_state = optimizer.init(decoder_params)
 
@@ -490,8 +530,7 @@ def training(config: TrainConfig, logger: MultiLogger | None = None) -> dict:
     def run_display(epoch):
         if display is None:
             return
-        full = dict(frozen_params)
-        full["decoder"] = decoder_params
+        full = _merge_params(decoder_params, frozen_params)
         for split, ds in (("train", train_ds), ("test", valid_ds)):
             display(full, cfg, config, ds, split, logger, run_dir,
                     epoch=epoch, orig_hw=orig_hw)
@@ -555,8 +594,7 @@ def training(config: TrainConfig, logger: MultiLogger | None = None) -> dict:
         )
         run_display(epoch)
 
-    params_final = dict(frozen_params)
-    params_final["decoder"] = decoder_params
+    params_final = _merge_params(decoder_params, frozen_params)
 
     # final checkpoint in the reference's naming scheme + .pt interop export
     if config.export_pt:

@@ -173,3 +173,53 @@ def test_training_with_augmentation(tmp_path, dataset_dir):
     )
     result = training(cfg)
     assert np.isfinite(result["history"][0]["train_loss"])
+
+
+def test_training_full_finetune(tmp_path, dataset_dir):
+    """trainable='all' (encoder fine-tune, BASELINE config 5): encoder
+    params actually move and the loss stays finite."""
+    import jax
+
+    cfg = _base_config(
+        tmp_path, dataset_dir, epochs=1, cache_embeddings=False,
+        trainable="all", learning_rate=1e-3,
+    )
+    from dilabhelmholtzoct_tpu.train.trainer import prepare_model
+
+    _, params0 = prepare_model(cfg)
+    patch_w0 = np.asarray(params0["vision"]["patch_embed"]["w"])
+    result = training(cfg)
+    assert np.isfinite(result["history"][0]["train_loss"])
+    patch_w1 = np.asarray(result["params"]["vision"]["patch_embed"]["w"])
+    assert not np.allclose(patch_w0, patch_w1)  # encoder updated
+
+
+def test_full_finetune_rejects_cache(tmp_path, dataset_dir):
+    import pytest as _pytest
+
+    cfg = _base_config(
+        tmp_path, dataset_dir, trainable="all", cache_embeddings=True
+    )
+    with _pytest.raises(ValueError):
+        training(cfg)
+
+
+def test_display_samples(tmp_path, dataset_dir):
+    cfg = _base_config(
+        tmp_path, dataset_dir, epochs=1, display_mode="predefined",
+        display_idx=(0, 1),
+    )
+    result = training(cfg)
+    import glob
+
+    pngs = glob.glob(str(tmp_path / "ckpt" / "testrun" / "display" / "*.png"))
+    assert len(pngs) >= 2  # pre-train + post-epoch panels for train+test
+
+
+def test_dryrun_multichip_entry():
+    """Driver contract: 8-device DP dry-run executes one step."""
+    import sys
+    sys.path.insert(0, ".")
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
