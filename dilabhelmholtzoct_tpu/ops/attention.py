@@ -47,9 +47,12 @@ def _flash_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref,
     rows_per_blk = tk // w
     n_blocks = n // tk
 
-    q = q_ref[0].astype(jnp.float32) * scale
-    rh = rh_ref[0].astype(jnp.float32)  # (TQ, H)
-    rw = rw_ref[0].astype(jnp.float32)  # (TQ, W)
+    # Keep matmul INPUTS in the native (bf16) dtype with f32 accumulation —
+    # upcasting operands to f32 would force slow f32 MXU passes. The qk
+    # scale is applied to the f32 accumulator afterwards.
+    q = q_ref[0]
+    rh = rh_ref[0]  # (TQ, H)
+    rw = rw_ref[0]  # (TQ, W)
 
     # Decomposed bias expanded via one-hot matmuls (MXU-friendly; Mosaic
     # allows no unaligned lane slices or in-register lane reshapes):
@@ -58,7 +61,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref,
     #   rw expansion hoists out of the streaming loop.
     t_idx = jax.lax.broadcasted_iota(jnp.int32, (w, tk), 1)
     c_idx = jax.lax.broadcasted_iota(jnp.int32, (w, tk), 0)
-    sel_w = (t_idx % w == c_idx).astype(jnp.float32)  # (W, TK)
+    sel_w = (t_idx % w == c_idx).astype(rw.dtype)  # (W, TK)
     rw_bias = jax.lax.dot_general(
         rw, sel_w, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -72,11 +75,11 @@ def _flash_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref,
         k_blk = k_ref[0, pl.ds(j * tk, tk), :]
         v_blk = v_ref[0, pl.ds(j * tk, tk), :]
         s = jax.lax.dot_general(
-            q, k_blk.astype(jnp.float32),
+            q, k_blk,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (TQ, TK)
-        sel_h = (hh_idx == j * rows_per_blk + th_idx // w).astype(jnp.float32)
+        ) * scale  # (TQ, TK) f32
+        sel_h = (hh_idx == j * rows_per_blk + th_idx // w).astype(rh.dtype)
         rh_bias = jax.lax.dot_general(
             rh, sel_h, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,

@@ -200,3 +200,29 @@ def test_augmentation_pipeline(rng):
     assert s.n >= 1
     with _pytest.raises(AssertionError):
         ds.sample(0)
+
+
+def test_preprocess_dme_mat_files(tmp_path, rng):
+    """DME loader: .mat subjects, NaN masks zeroed, empty B-scans dropped
+    (the reference's version is broken — missing import, undefined var)."""
+    from scipy.io import savemat
+
+    raw = tmp_path / "raw" / "dme"
+    raw.mkdir(parents=True)
+    for i in range(10):
+        images = rng.integers(0, 255, (96, 128, 61)).astype(np.uint8)
+        masks = np.zeros((96, 128, 61), np.float64)
+        masks[20:40, 30:60, 0] = 3.0     # valid B-scan 0
+        masks[10:30, 10:50, 5] = np.nan  # all-NaN → zeroed → dropped
+        masks[50:70, 70:100, 7] = 2.0    # valid B-scan 7
+        savemat(str(raw / f"Subject_{str(i+1).zfill(2)}.mat"),
+                {"images": images, "manualLayers1": masks})
+
+    from dilabhelmholtzoct_tpu.data.preprocessing import preprocess_dme
+
+    images, labels = preprocess_dme(
+        str(raw), {"use_masks": "manualLayers1", "print_status": False}
+    )
+    assert images.shape == (20, 96, 128, 3)  # 2 valid scans x 10 subjects
+    assert labels.shape == (20, 96, 128)
+    assert set(np.unique(labels)) <= {0, 2, 3}
