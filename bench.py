@@ -125,6 +125,31 @@ def main():
     )
     bench_step(cached_cfg, cached_batch, "cached-embedding step")
 
+    # topology-regularized step (BASELINE.md config 4): DiceCE + cubical
+    # persistence Wasserstein via the two-phase host-pairing protocol
+    topo_cfg = TrainConfig(
+        compute_dtype="bfloat16", cache_embeddings=True, batch_size=BATCH,
+        topological=True, topo_interp=50,
+    )
+    topo_step = make_train_step(
+        cfg, topo_cfg, make_optimizer(topo_cfg), orig_hw, from_embeddings=True
+    )
+    dec_t = jax.tree_util.tree_map(jnp.copy, decoder_params)
+    opt_t = make_optimizer(topo_cfg).init(dec_t)
+    dec_t, opt_t, loss = topo_step(dec_t, opt_t, frozen_params, cached_batch)
+    jax.block_until_ready((dec_t, opt_t, loss))
+    t0 = time.time()
+    for _ in range(10):
+        dec_t, opt_t, loss = topo_step(dec_t, opt_t, frozen_params, cached_batch)
+    jax.block_until_ready((dec_t, opt_t, loss))
+    topo_ms = (time.time() - t0) / 10 * 1e3
+    print(
+        f"[bench] topo-regularized cached step: {topo_ms:.1f} ms "
+        f"({BATCH / (topo_ms / 1e3):.1f} img/s) — persistence pairing on "
+        f"host, off the device critical path",
+        file=sys.stderr,
+    )
+
     # interactive serving path (BASELINE.md configs 1 & 5): encoder once per
     # image, decoder per prompt — the engine's cache pattern
     from dilabhelmholtzoct_tpu.inference.engine import SegmentationEngine

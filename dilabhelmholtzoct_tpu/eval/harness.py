@@ -48,16 +48,24 @@ def _bucket(n, buckets=(4, 8, 16, 32, 64)):
 
 def make_infer_fn(params, cfg, config, orig_hw):
     """Jitted per-sample inference: image + prompts → (C, H, W) sigmoid
-    probabilities (compiled once per prompt-bucket size)."""
+    probabilities (compiled once per prompt-bucket size).
+
+    If ``image`` is a precomputed embedding row (ndim 3, G×G×C) the encoder
+    is skipped — used by the batched eval path."""
     size = cfg.vision.image_size
+    g = cfg.prompt.image_embedding_size
 
     # NB: params must be an explicit jit argument — closing over them bakes
     # ~90M weights into the graph as constants and compile time explodes.
     @jax.jit
-    def _run_boxes(p, image, boxes):
+    def _embed(p, image):
         pix, _ = preprocess_image(image[None], target_size=size)
+        return encode_image(p, pix, cfg)[0]
+
+    @jax.jit
+    def _run_boxes(p, emb, boxes):
         out = sam_forward(
-            p, cfg, pixel_values=pix,
+            p, cfg, image_embeddings=emb[None],
             boxes=rescale_boxes(boxes[None], orig_hw, size),
             multimask_output=False,
         )
@@ -65,10 +73,9 @@ def make_infer_fn(params, cfg, config, orig_hw):
         return jax.nn.sigmoid(masks[0])
 
     @jax.jit
-    def _run_points(p, image, points, labels):
-        pix, _ = preprocess_image(image[None], target_size=size)
+    def _run_points(p, emb, points, labels):
         out = sam_forward(
-            p, cfg, pixel_values=pix,
+            p, cfg, image_embeddings=emb[None],
             points=rescale_coords(points[None], orig_hw, size),
             labels=labels[None],
             multimask_output=False,
@@ -79,6 +86,10 @@ def make_infer_fn(params, cfg, config, orig_hw):
     params = jax.tree_util.tree_map(jnp.asarray, params)
 
     def infer(image, sample):
+        if image.shape == (g, g, cfg.vision.output_channels):
+            emb = jnp.asarray(image)
+        else:
+            emb = _embed(params, jnp.asarray(image))
         n = sample.n
         c = _bucket(max(n, 1))
         if config.prompt_type == "points":
@@ -87,12 +98,12 @@ def make_infer_fn(params, cfg, config, orig_hw):
             pts[:n] = sample.bboxes[:c]
             lbl[:n] = 1
             probs = _run_points(
-                params, jnp.asarray(image), jnp.asarray(pts), jnp.asarray(lbl)
+                params, emb, jnp.asarray(pts), jnp.asarray(lbl)
             )
         else:
             boxes = np.zeros((c, 4), np.float32)
             boxes[:n] = sample.bboxes[:c]
-            probs = _run_boxes(params, jnp.asarray(image), jnp.asarray(boxes))
+            probs = _run_boxes(params, emb, jnp.asarray(boxes))
         return np.asarray(probs[:n], np.float32)
 
     return infer
@@ -112,9 +123,23 @@ def _metric_block(name, global_val, sample_vals, idx, out):
                          "sample_mean": float(np.mean(sample_vals))}
 
 
-def evaluate_metrics(params, cfg, config, dataset, *, orig_hw, num_classes=14):
-    """Full per-class report; returns nested dict of all metrics."""
+def evaluate_metrics(params, cfg, config, dataset, *, orig_hw, num_classes=14,
+                     batch_encode: int = 8):
+    """Full per-class report; returns nested dict of all metrics.
+
+    Unlike the reference's per-sample CPU loop (training_utils.py:113-134),
+    images are batch-encoded once up front; the per-sample pass then runs
+    the cheap decoder only."""
     infer = make_infer_fn(params, cfg, config, orig_hw)
+
+    embeddings = None
+    if batch_encode:
+        from ..train.trainer import precompute_embeddings
+
+        embeddings = precompute_embeddings(
+            jax.tree_util.tree_map(jnp.asarray, params), cfg, dataset,
+            batch_size=batch_encode, dtype=jnp.float32, verbose=False,
+        )
 
     seg = defaultdict(list)       # class → [binary mask]
     seg_probs = defaultdict(list)  # class → [prob mask]
@@ -123,6 +148,8 @@ def evaluate_metrics(params, cfg, config, dataset, *, orig_hw, num_classes=14):
 
     for i in range(len(dataset)):
         image, sample = dataset[i]
+        if embeddings is not None:
+            image = np.asarray(embeddings[i])
         probs = infer(image, sample)
         binary = (probs > 0.5).astype(np.uint8)
         for c in range(sample.n):

@@ -308,13 +308,16 @@ def make_train_step(
         from ..ops.topology import host_pairing
 
         pred50, true50 = fwd_grids(decoder_params, frozen_params, batch)
+        # single bundled device→host transfer (the tunnel charges a fixed
+        # ~29ms round trip per synchronous call)
+        pred50, true50 = jax.device_get((pred50, true50))
         b, c = pred50.shape[:2]
         pairing = host_pairing(
-            np.asarray(pred50).reshape(b * c, *pred50.shape[2:]),
-            np.asarray(true50).reshape(b * c, *true50.shape[2:]),
+            pred50.reshape(b * c, *pred50.shape[2:]),
+            true50.reshape(b * c, *true50.shape[2:]),
             feat_d=config.topo_feat_d,
         )
-        pairing = {k: jnp.asarray(v) for k, v in pairing.items()}
+        pairing = jax.device_put(pairing)
         return step(decoder_params, opt_state, frozen_params, batch, pairing)
 
     return topo_step
