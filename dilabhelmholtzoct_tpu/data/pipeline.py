@@ -9,7 +9,6 @@ while the device computes, and batches come out in static bucketed shapes.
 from __future__ import annotations
 
 import concurrent.futures
-import threading
 from typing import Iterator
 
 import numpy as np

@@ -15,7 +15,6 @@ sample batch; metric reductions run vectorized on host.
 
 from __future__ import annotations
 
-import functools
 from collections import defaultdict
 
 import jax

@@ -30,7 +30,6 @@ Numerics match HF ``SamModel`` (f32) to ~1e-5; verified by
 
 from __future__ import annotations
 
-import math
 from functools import partial
 
 import jax

@@ -20,9 +20,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.sam import sam_forward
-from ..ops.postprocess import postprocess_masks
-from ..ops.preprocess import preprocess_image, rescale_boxes, rescale_coords
 
 # distinct RGB colors for up to 14 classes (0 = background stays dark)
 _PALETTE = np.array([

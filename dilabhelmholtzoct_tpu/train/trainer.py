@@ -31,7 +31,6 @@ import functools
 import os
 import time
 from dataclasses import dataclass, field
-from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -52,7 +51,6 @@ from ..models.sam import (
 from ..ops.losses import dice_ce_loss
 from ..ops.postprocess import postprocess_masks
 from ..ops.preprocess import preprocess_image, rescale_boxes, rescale_coords
-from ..parallel.mesh import make_mesh, replicate, shard_batch
 from ..utils import checkpoint as ckpt_utils
 from ..utils.logging import MultiLogger, make_logger
 
