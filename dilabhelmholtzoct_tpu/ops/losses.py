@@ -91,3 +91,17 @@ def dice_ce_loss(logits, targets, channel_mask=None):
     else:
         ce = softmax_ce_prob_targets(logits, targets, channel_mask)
     return d + ce
+
+
+def segmentation_loss(name: str):
+    """Resolve the reference's ``--loss`` flag (training.py:29; only
+    'diceCE' is implemented there) to a loss fn; we additionally support its
+    two components standalone."""
+    name = name.lower()
+    if name == "dicece":
+        return dice_ce_loss
+    if name == "dice":
+        return dice_loss
+    if name in ("ce", "crossentropy"):
+        return softmax_ce_prob_targets
+    raise ValueError(f"unknown loss {name!r}; known: diceCE, dice, ce")

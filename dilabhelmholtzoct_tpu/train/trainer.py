@@ -48,7 +48,7 @@ from ..models.sam import (
     image_wide_pe,
     init_params,
 )
-from ..ops.losses import dice_ce_loss
+from ..ops.losses import segmentation_loss
 from ..ops.postprocess import postprocess_masks
 from ..ops.preprocess import preprocess_image, rescale_boxes, rescale_coords
 from ..utils import checkpoint as ckpt_utils
@@ -203,7 +203,9 @@ def _loss_from_masks(masks, batch, config: TrainConfig, pairing=None):
     pairing protocol (ops/topology.py): the combinatorial pairing arrives
     precomputed in ``pairing`` because the axon TPU runtime cannot run host
     callbacks inside jit."""
-    loss = dice_ce_loss(masks, batch["gt_masks"], batch["channel_mask"])
+    loss = segmentation_loss(config.loss)(
+        masks, batch["gt_masks"], batch["channel_mask"]
+    )
     if config.topological and pairing is not None:
         from ..ops.topology import topo_loss_from_pairing
 

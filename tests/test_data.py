@@ -226,3 +226,23 @@ def test_preprocess_dme_mat_files(tmp_path, rng):
     assert images.shape == (20, 96, 128, 3)  # 2 valid scans x 10 subjects
     assert labels.shape == (20, 96, 128)
     assert set(np.unique(labels)) <= {0, 2, 3}
+
+
+def test_collate_caps_overflow_with_warning(rng):
+    import warnings as _warnings
+
+    from dilabhelmholtzoct_tpu.data.sampling import PromptedSample, collate
+
+    n = 10
+    s = PromptedSample(
+        bboxes=rng.uniform(0, 30, (n, 4)).astype(np.float32),
+        gt_masks=np.ones((n, 16, 16), np.float32),
+        mask_values=np.arange(n, dtype=np.int32),
+    )
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        batch = collate([s], np.zeros((1, 16, 16, 3), np.uint8),
+                        buckets=(4, 8))
+        assert any("capping" in str(x.message) for x in w)
+    assert batch["prompts"].shape == (1, 8, 4)
+    assert batch["n_components"][0] == 8

@@ -223,3 +223,18 @@ def test_dryrun_multichip_entry():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_loss_flag_variants(tmp_path, dataset_dir):
+    for loss_name in ("dice", "ce"):
+        cfg = _base_config(
+            tmp_path, dataset_dir, epochs=1, loss=loss_name,
+            display_name=f"loss-{loss_name}",
+        )
+        result = training(cfg)
+        assert np.isfinite(result["history"][0]["train_loss"])
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        training(_base_config(tmp_path, dataset_dir, loss="focal"))
