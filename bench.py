@@ -66,8 +66,8 @@ def main():
         "prompts": jnp.asarray(
             rng.uniform(0, 400, (BATCH, N_PROMPTS, 4)), jnp.float32
         ),
-        "gt_masks": jnp.asarray(
-            (rng.random((BATCH, N_PROMPTS, *orig_hw)) > 0.9).astype(np.float32)
+        "comp_map": jnp.asarray(
+            rng.integers(0, N_PROMPTS + 1, (BATCH, *orig_hw)), jnp.int32
         ),
         "channel_mask": jnp.ones((BATCH, N_PROMPTS), jnp.float32),
     }

@@ -42,6 +42,15 @@ class PromptedDataset:
         self._seed = seed
         self._epoch = 0
         self.augment = augment  # data/augment.Augmenter or None
+        # label-only view: HF datasets decode every image column on row
+        # access; prompt sampling only needs the label map, and decoding the
+        # 496x512 PNG image too doubles the host cost of every epoch
+        self._labels_only = None
+        if hasattr(dataset, "remove_columns"):
+            try:
+                self._labels_only = dataset.remove_columns(["image"])
+            except (ValueError, KeyError):
+                pass
 
     def __len__(self):
         return len(self.dataset)
@@ -70,7 +79,12 @@ class PromptedDataset:
             "embedding cache is incompatible with data augmentation; "
             "set cache_embeddings=False"
         )
-        _, label = item_arrays(self.dataset[int(idx)])
+        if self._labels_only is not None:
+            label = np.array(self._labels_only[int(idx)]["label"])
+            if label.ndim == 3:
+                label = label[..., 0]
+        else:
+            _, label = item_arrays(self.dataset[int(idx)])
         return sample_prompts(label, self.prompt_type, self._rng(idx))
 
     def __getitem__(self, idx: int) -> tuple[np.ndarray, PromptedSample]:

@@ -38,15 +38,31 @@ DEFAULT_BUCKETS = (8, 16, 32, 64)
 
 @dataclass
 class PromptedSample:
-    """Prompts for one image (ragged, host-side)."""
+    """Prompts for one image (ragged, host-side).
+
+    Ground-truth component masks are carried as ONE compact ``comp_map``
+    ((H, W) int32, slot ids 1..n in prompt order, 0 = none) instead of n
+    full float masks — 32x smaller on host and on the wire; the training
+    step materializes the one-hot masks on device.
+    """
 
     bboxes: np.ndarray  # (n, 4) float32 xyxy  (or points (n, 1, 2))
-    gt_masks: np.ndarray  # (n, H, W) float32 binary
+    comp_map: np.ndarray  # (H, W) int32 component slots 1..n
     mask_values: np.ndarray  # (n,) int32 class value per component
 
     @property
     def n(self) -> int:
         return len(self.mask_values)
+
+    @property
+    def gt_masks(self) -> np.ndarray:
+        """(n, H, W) float32 binary masks (materialized on demand)."""
+        n = self.n
+        if n == 0:
+            return np.zeros((0, *self.comp_map.shape), np.float32)
+        return (
+            self.comp_map[None] == np.arange(1, n + 1)[:, None, None]
+        ).astype(np.float32)
 
 
 def label_components(binary_mask: np.ndarray):
@@ -58,14 +74,54 @@ def label_components(binary_mask: np.ndarray):
     return label_components_8(binary_mask)
 
 
+MAX_COMPONENTS = 256  # host-side extraction cap (far above any real image)
+
+
 def sample_prompts(
     ground_truth_mask: np.ndarray,
     prompt_type: str,
     rng: np.random.Generator,
 ) -> PromptedSample:
-    """Extract per-component prompts from a (H, W) integer label map."""
+    """Extract per-component prompts from a (H, W) integer label map.
+
+    Fast path: one C++ pass (ops/native.extract_components) computing the
+    component map, per-component bboxes and sizes; random point prompts are
+    rank-selected in C++ too. RNG draw order matches the pure-python
+    fallback exactly, so results are identical either way (tested)."""
+    from ..ops.native import component_pixel_at, extract_components
+
     h, w = ground_truth_mask.shape
-    prompts, gt_masks, values = [], [], []
+    gt8 = np.ascontiguousarray(ground_truth_mask, np.uint8)
+    native = extract_components(gt8, MAX_COMPONENTS)
+    if native is not None:
+        comp_map, values, raw_boxes, sizes, total = native
+        n = len(values)
+        if prompt_type == "points":
+            ranks = np.asarray(
+                [int(rng.integers(0, int(sz))) for sz in sizes], np.int64
+            )
+            xy = component_pixel_at(comp_map, ranks)
+            prompts = xy.astype(np.float32).reshape(n, 1, 2)
+        else:
+            prompts = np.empty((n, 4), np.float32)
+            for s in range(n):
+                x0, y0, x1, y1 = (int(q) for q in raw_boxes[s])
+                # ±10px jitter, clamped; drawn in the reference's order
+                # x_min, x_max, y_min, y_max (training_utils.py:407-410)
+                jx0 = max(0, x0 + int(rng.integers(-10, 10)))
+                jx1 = min(w, x1 + int(rng.integers(-10, 10)))
+                jy0 = max(0, y0 + int(rng.integers(-10, 10)))
+                jy1 = min(h, y1 + int(rng.integers(-10, 10)))
+                prompts[s] = (jx0, jy0, jx1, jy1)
+        return PromptedSample(
+            bboxes=prompts, comp_map=comp_map,
+            mask_values=values.astype(np.int32),
+        )
+
+    # pure-python fallback (identical semantics)
+    prompts, values = [], []
+    comp_map = np.zeros((h, w), np.int32)
+    slot = 0
     for v in np.unique(ground_truth_mask):
         binary = ground_truth_mask == v
         labeled, ncomp = label_components(binary)
@@ -73,21 +129,23 @@ def sample_prompts(
             comp = labeled == c
             ys, xs = np.nonzero(comp)
             values.append(int(v))
-            gt_masks.append(comp.astype(np.float32))
+            slot += 1
+            comp_map[comp] = slot
             if prompt_type == "points":
                 i = int(rng.integers(0, len(xs)))
                 prompts.append([[float(xs[i]), float(ys[i])]])
             else:
-                # ±10px jitter, clamped — same bounds as the reference
-                # (np.random.randint(-10, 10) at training_utils.py:407-410)
                 x_min = max(0, int(xs.min()) + int(rng.integers(-10, 10)))
                 x_max = min(w, int(xs.max()) + int(rng.integers(-10, 10)))
                 y_min = max(0, int(ys.min()) + int(rng.integers(-10, 10)))
                 y_max = min(h, int(ys.max()) + int(rng.integers(-10, 10)))
                 prompts.append([x_min, y_min, x_max, y_max])
     return PromptedSample(
-        bboxes=np.asarray(prompts, np.float32),
-        gt_masks=np.stack(gt_masks) if gt_masks else np.zeros((0, h, w), np.float32),
+        bboxes=np.asarray(prompts, np.float32).reshape(
+            (slot, 1, 2) if prompt_type == "points" else (slot, 4)
+        ) if slot else np.zeros(
+            (0, 1, 2) if prompt_type == "points" else (0, 4), np.float32),
+        comp_map=comp_map,
         mask_values=np.asarray(values, np.int32),
     )
 
@@ -126,7 +184,7 @@ def collate(
     if images is not None:
         h, w = images.shape[1:3]
     else:
-        h, w = samples[0].gt_masks.shape[-2:]
+        h, w = samples[0].comp_map.shape
     max_n = max(s.n for s in samples)
     cap = buckets[-1]
     if max_n > cap:
@@ -139,7 +197,7 @@ def collate(
         max_n = cap
     c = bucket_for(max_n, buckets)
 
-    gt = np.zeros((bsz, c, h, w), np.float32)
+    comp_map = np.zeros((bsz, h, w), np.int32)
     values = np.zeros((bsz, c), np.int32)
     n_comp = np.zeros((bsz,), np.int32)
     if prompt_type == "points":
@@ -152,9 +210,9 @@ def collate(
     for i, s in enumerate(samples):
         n = min(s.n, c)
         n_comp[i] = n
+        comp_map[i] = s.comp_map  # slots > c fall outside the one-hot range
         if n:
             prompts[i, :n] = s.bboxes[:n]
-            gt[i, :n] = s.gt_masks[:n]
             values[i, :n] = s.mask_values[:n]
             if labels is not None:
                 labels[i, :n] = 1
@@ -170,7 +228,7 @@ def collate(
 
     out = {
         "prompts": prompts,
-        "gt_masks": gt,
+        "comp_map": comp_map,
         "mask_values": values,
         "channel_mask": channel_mask,
         "n_components": n_comp,
@@ -180,3 +238,22 @@ def collate(
     if labels is not None:
         out["point_labels"] = labels
     return out
+
+
+def gt_masks_from_comp_map(comp_map, n_channels: int):
+    """(B, H, W) int slot map → (B, C, H, W) f32 one-hot masks.
+
+    Works on numpy and jax arrays — the device-side materialization used by
+    the training step (slot ids beyond n_channels vanish, matching the
+    bucket cap)."""
+    if isinstance(comp_map, np.ndarray):
+        rng_ = np.arange(1, n_channels + 1, dtype=comp_map.dtype)
+        return (comp_map[:, None] == rng_[None, :, None, None]).astype(
+            np.float32
+        )
+    import jax.numpy as jnp
+
+    rng_ = jnp.arange(1, n_channels + 1, dtype=comp_map.dtype)
+    return (
+        comp_map[:, None] == rng_[None, :, None, None]
+    ).astype(jnp.float32)

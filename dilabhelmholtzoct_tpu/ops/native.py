@@ -55,6 +55,19 @@ def _load():
         ctypes.POINTER(ctypes.c_int32),
     ]
     lib.label_components_8.restype = ctypes.c_int32
+    lib.extract_components.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.extract_components.restype = ctypes.c_int32
+    lib.component_pixel_at.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.component_pixel_at.restype = None
     _lib = lib
     return _lib
 
@@ -86,6 +99,53 @@ def label_components_8(mask: np.ndarray):
         _ptr(out, ctypes.c_int32),
     )
     return out, int(n)
+
+
+def extract_components(label: np.ndarray, max_comps: int = 256):
+    """One-pass prompt extraction from a (H, W) uint8 label map.
+
+    Returns (comp_map (H,W) int32 with slot ids 1..n, values (n,) int32,
+    bboxes (n,4) int32 xyxy, sizes (n,) int32, total_found int). None when
+    the native library is unavailable (callers fall back to the pure path).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    lab = np.ascontiguousarray(label, np.uint8)
+    h, w = lab.shape
+    comp_map = np.empty((h, w), np.int32)
+    values = np.zeros((max_comps,), np.int32)
+    bboxes = np.zeros((max_comps, 4), np.int32)
+    sizes = np.zeros((max_comps,), np.int32)
+    total = lib.extract_components(
+        _ptr(lab, ctypes.c_uint8), h, w, max_comps,
+        _ptr(comp_map, ctypes.c_int32), _ptr(values, ctypes.c_int32),
+        _ptr(bboxes, ctypes.c_int32), _ptr(sizes, ctypes.c_int32),
+    )
+    n = min(int(total), max_comps)
+    return comp_map, values[:n], bboxes[:n], sizes[:n], int(total)
+
+
+def component_pixel_at(comp_map: np.ndarray, ranks: np.ndarray):
+    """Per-slot (x, y) of the rank-th pixel (row-major) of each component."""
+    lib = _load()
+    n = len(ranks)
+    if lib is None:
+        out = np.zeros((n, 2), np.int32)
+        flat = comp_map.reshape(-1)
+        w = comp_map.shape[1]
+        for s in range(n):
+            idx = np.flatnonzero(flat == s + 1)[int(ranks[s])]
+            out[s] = (idx % w, idx // w)
+        return out
+    cm = np.ascontiguousarray(comp_map, np.int32)
+    r = np.ascontiguousarray(ranks, np.int64)
+    out = np.zeros((n, 2), np.int32)
+    lib.component_pixel_at(
+        _ptr(cm, ctypes.c_int32), cm.shape[0], cm.shape[1], n,
+        _ptr(r, ctypes.c_int64), _ptr(out, ctypes.c_int32),
+    )
+    return out
 
 
 def cubical_pairs_batch(grids: np.ndarray, max_bars: int = 32):

@@ -38,7 +38,7 @@ import numpy as np
 import optax
 
 from ..data.pipeline import PromptedDataset, batches
-from ..data.sampling import DEFAULT_BUCKETS
+from ..data.sampling import DEFAULT_BUCKETS, gt_masks_from_comp_map
 from ..models.configs import SamConfig, config_for
 from ..models.sam import (
     decode_masks,
@@ -203,8 +203,9 @@ def _loss_from_masks(masks, batch, config: TrainConfig, pairing=None):
     pairing protocol (ops/topology.py): the combinatorial pairing arrives
     precomputed in ``pairing`` because the axon TPU runtime cannot run host
     callbacks inside jit."""
+    gt_masks = gt_masks_from_comp_map(batch["comp_map"], masks.shape[1])
     loss = segmentation_loss(config.loss)(
-        masks, batch["gt_masks"], batch["channel_mask"]
+        masks, gt_masks, batch["channel_mask"]
     )
     if config.topological and pairing is not None:
         from ..ops.topology import topo_loss_from_pairing
@@ -298,9 +299,10 @@ def make_train_step(
         )
         from ..ops.topology import downsample_for_topo
 
+        gt_masks = gt_masks_from_comp_map(batch["comp_map"], masks.shape[1])
         return downsample_for_topo(
             jax.nn.sigmoid(masks.astype(jnp.float32)),
-            batch["gt_masks"].astype(jnp.float32),
+            gt_masks,
             config.topo_interp,
         )
 
@@ -357,8 +359,9 @@ def make_eval_step(cfg, config: TrainConfig, orig_hw, from_embeddings: bool):
         )
 
         pred = jax.nn.sigmoid(masks.astype(jnp.float32))
+        gt_masks = gt_masks_from_comp_map(batch["comp_map"], masks.shape[1])
         pred50, true50 = downsample_for_topo(
-            pred, batch["gt_masks"].astype(jnp.float32), config.topo_interp
+            pred, gt_masks, config.topo_interp
         )
         b, c = pred50.shape[:2]
         pairing = host_pairing(
@@ -499,7 +502,7 @@ def training(config: TrainConfig, logger: MultiLogger | None = None) -> dict:
         print(f"[dp] data-parallel over {n_dev} devices")
 
     def device_batch(batch, emb):
-        keys = ("prompts", "gt_masks", "channel_mask", "point_labels")
+        keys = ("prompts", "comp_map", "channel_mask", "point_labels")
         if mesh is not None:
             from ..parallel.mesh import pad_to_multiple
 

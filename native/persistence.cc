@@ -212,4 +212,83 @@ int32_t label_components_8(const uint8_t* mask, int h, int w,
   return next_label;
 }
 
+// Full prompt-extraction pass over a (h, w) uint8 label map: for each class
+// value present (ascending), label its 8-connected components (first-pixel
+// order, scipy-compatible) and emit per-component class value, bounding box
+// and pixel count. comp_map holds slot indices 1..n (0 = none). Components
+// beyond max_comps are dropped (count still returned so callers can warn).
+// This replaces the reference's per-class python loop
+// (octsam/models/training_utils.py:389-415) — and, combined with on-device
+// one-hot mask materialization, removes the (n, h, w) float mask arrays
+// from the host path entirely.
+int32_t extract_components(const uint8_t* label, int h, int w, int max_comps,
+                           int32_t* comp_map, int32_t* values,
+                           int32_t* bboxes /* (max_comps, 4) x0,y0,x1,y1 */,
+                           int32_t* sizes) {
+  const int n = h * w;
+  std::vector<int32_t> cls_labels(n);
+  std::vector<uint8_t> binary(n);
+  std::fill(comp_map, comp_map + n, 0);
+
+  // distinct values, ascending (np.unique semantics)
+  bool present[256] = {false};
+  for (int i = 0; i < n; ++i) present[label[i]] = true;
+
+  int32_t slot = 0;      // emitted components (capped)
+  int32_t total = 0;     // all components found
+  for (int v = 0; v < 256; ++v) {
+    if (!present[v]) continue;
+    for (int i = 0; i < n; ++i) binary[i] = (label[i] == v);
+    const int32_t ncomp =
+        label_components_8(binary.data(), h, w, cls_labels.data());
+    const int32_t base_slot = slot;
+    for (int c = 0; c < ncomp; ++c) {
+      ++total;
+      if (slot >= max_comps) continue;
+      values[slot] = v;
+      bboxes[4 * slot + 0] = w;  // x0 (min-init)
+      bboxes[4 * slot + 1] = h;  // y0
+      bboxes[4 * slot + 2] = -1; // x1 (max-init)
+      bboxes[4 * slot + 3] = -1; // y1
+      sizes[slot] = 0;
+      ++slot;
+    }
+    for (int i = 0; i < n; ++i) {
+      const int32_t c = cls_labels[i];
+      if (!c) continue;
+      const int32_t s = base_slot + c - 1;
+      if (s >= max_comps) continue;
+      comp_map[i] = s + 1;
+      const int y = i / w, x = i % w;
+      int32_t* bb = bboxes + 4 * s;
+      if (x < bb[0]) bb[0] = x;
+      if (y < bb[1]) bb[1] = y;
+      if (x > bb[2]) bb[2] = x;
+      if (y > bb[3]) bb[3] = y;
+      ++sizes[s];
+    }
+  }
+  return total;  // caller clamps to max_comps for the emitted slots
+}
+
+// For each component slot (1..n_comps), return the coordinates (x, y) of
+// the rank[s]-th pixel (row-major order) belonging to it — used for
+// uniform random point prompts without materializing pixel lists.
+void component_pixel_at(const int32_t* comp_map, int h, int w, int n_comps,
+                        const int64_t* ranks, int32_t* out_xy) {
+  std::vector<int64_t> seen(n_comps, 0);
+  int remaining = n_comps;
+  for (int i = 0; i < h * w && remaining > 0; ++i) {
+    const int32_t c = comp_map[i];
+    if (!c || c > n_comps) continue;
+    const int s = c - 1;
+    if (seen[s] == ranks[s]) {
+      out_xy[2 * s + 0] = i % w;
+      out_xy[2 * s + 1] = i / w;
+      --remaining;
+    }
+    ++seen[s];
+  }
+}
+
 }  // extern "C"

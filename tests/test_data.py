@@ -65,7 +65,13 @@ def test_collate_buckets_and_masks():
     images = np.zeros((2, 64, 64, 3), np.uint8)
     batch = collate(samples, images)
     assert batch["prompts"].shape == (2, 8, 4)  # bucketed to 8
-    assert batch["gt_masks"].shape == (2, 8, 64, 64)
+    assert batch["comp_map"].shape == (2, 64, 64)
+    # device-side one-hot materialization reproduces the dense masks
+    from dilabhelmholtzoct_tpu.data.sampling import gt_masks_from_comp_map
+
+    gt = gt_masks_from_comp_map(batch["comp_map"], 8)
+    assert gt.shape == (2, 8, 64, 64)
+    np.testing.assert_array_equal(gt[0, :4], samples[0].gt_masks)
     # sample 0 has 4 components, sample 1 has 1 (all-background)
     np.testing.assert_array_equal(batch["n_components"], [4, 1])
     # reference ragged width = 4 → channel_mask covers 4 channels
@@ -236,7 +242,7 @@ def test_collate_caps_overflow_with_warning(rng):
     n = 10
     s = PromptedSample(
         bboxes=rng.uniform(0, 30, (n, 4)).astype(np.float32),
-        gt_masks=np.ones((n, 16, 16), np.float32),
+        comp_map=rng.integers(0, n + 1, (16, 16)).astype(np.int32),
         mask_values=np.arange(n, dtype=np.int32),
     )
     with _warnings.catch_warnings(record=True) as w:
