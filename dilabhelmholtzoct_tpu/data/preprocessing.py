@@ -101,6 +101,7 @@ def preprocess(dataset, raw_data_path, processed_data_path, config):
         file_description=config.get("additional_file_description", "default_"),
         time=config.get("time"),
         seed=config.get("seed"),
+        storage=config.get("storage", "png"),
     )
     config.get("print_status") and print(f"Finished. Dataset name is {name}")
     return name, save_dir
@@ -120,6 +121,10 @@ def main(argv=None):
     parser.add_argument("--shuffle", type=_str2bool, default=True)
     parser.add_argument("--dme_masks", type=str, default="manualLayers1")
     parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument("--storage", type=str, default="png",
+                        choices=["png", "raw"],
+                        help="'raw' stores arrow tensors (~20x faster "
+                             "build/read, larger on disk)")
     args = parser.parse_args(argv)
 
     raw_data_path = os.path.join(args.data_directory, "raw", args.dataset)
@@ -132,6 +137,7 @@ def main(argv=None):
         "print_status": True,
         "additional_file_description": "default_",
         "seed": args.seed,
+        "storage": args.storage,
     }
     if args.dataset == "dme":
         config["use_masks"] = args.dme_masks

@@ -252,3 +252,22 @@ def test_collate_caps_overflow_with_warning(rng):
         assert any("capping" in str(x.message) for x in w)
     assert batch["prompts"].shape == (1, 8, 4)
     assert batch["n_components"][0] == 8
+
+
+def test_store_raw_storage_roundtrip(tmp_path, rng):
+    import time as _time
+
+    from dilabhelmholtzoct_tpu.data.store import (
+        item_arrays, load_split, split_and_save,
+    )
+
+    images = rng.integers(0, 255, size=(12, 48, 56, 3), dtype=np.uint8)
+    labels = rng.integers(0, 5, size=(12, 48, 56), dtype=np.uint8)
+    _, d = split_and_save(images, labels, str(tmp_path), test_size=0.25,
+                          shuffle=False, seed=0, storage="raw")
+    train = load_split(d, "train")
+    im, lb = item_arrays(train[0])
+    assert im.shape == (48, 56, 3) and im.dtype == np.uint8
+    assert lb.shape == (48, 56)
+    np.testing.assert_array_equal(im, images[0])
+    np.testing.assert_array_equal(lb, labels[0])
