@@ -66,7 +66,10 @@ def average_precision(scores, labels):
     n_pos = int(labels.sum())
     if n_pos == 0:
         return 0.0
-    order = np.argsort(-scores, kind="mergesort")
+    # stability is irrelevant to AP: cumulative tps are only read at the
+    # END of each tie group, so any order within ties gives the same value
+    # (quicksort is ~2x faster than sklearn's mergesort on these sizes)
+    order = np.argsort(-scores)
     scores = scores[order]
     labels = labels[order]
     # indices of last occurrence of each distinct score
