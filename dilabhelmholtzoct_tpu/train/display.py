@@ -89,4 +89,18 @@ def display_samples(
             images_logged.append(path)
         except ImportError:
             pass
+        try:
+            # exact reference overlay format when wandb is installed:
+            # wandb.Image(image, masks={pred, gt}) with class_labels
+            # (training_utils.py:339-348)
+            import wandb
+
+            images_logged[-1] = wandb.Image(image, masks={
+                "pred": {"mask_data": pred_map,
+                         "class_labels": config.mask_dict},
+                "gt": {"mask_data": gt_map,
+                       "class_labels": config.mask_dict},
+            })
+        except ImportError:
+            pass
     logger.log_images(f"{split}_samples", images_logged)
