@@ -105,3 +105,27 @@ def test_eval_harness_smoke(engine, rng):
     assert "_means" in report and "_global" in report
     assert np.isfinite(report["_means"]["dice"])
     assert "a" in report and "iou" in report["a"]
+
+
+def test_eval_cli(tmp_path, rng):
+    """Standalone eval CLI over a tiny stored dataset."""
+    from dilabhelmholtzoct_tpu.data.store import split_and_save
+    from dilabhelmholtzoct_tpu.eval.cli import main
+    from dilabhelmholtzoct_tpu.models.configs import register_preset, sam_tiny
+
+    register_preset("tiny-evalcli", lambda: sam_tiny(image_size=128))
+    images = rng.integers(0, 255, (8, 64, 96, 3), dtype=np.uint8)
+    labels = np.zeros((8, 64, 96), np.uint8)
+    labels[:, 10:30, 10:40] = 1
+    root = tmp_path / "datasets" / "processed" / "custom"
+    name, _ = split_and_save(images, labels, str(root), test_size=0.25,
+                             shuffle=False, seed=0)
+    out = tmp_path / "report.json"
+    report = main([
+        "--base_model", "tiny-evalcli",
+        "--data_directory", str(tmp_path),
+        "--dataset_name", name,
+        "--report_json", str(out),
+    ])
+    assert out.exists()
+    assert "_means" in report
