@@ -237,3 +237,43 @@ def test_jit_compiles_and_matches_eager():
     np.testing.assert_allclose(
         np.asarray(eager), np.asarray(jitted), atol=1e-5
     )
+
+
+def test_pt_export_roundtrip(tmp_path):
+    """params → reference .pt → load_pretrained == identity (the
+    checkpoint interchange guarantee, training_utils.py:77 format)."""
+    import jax
+
+    from dilabhelmholtzoct_tpu.models.convert import load_pretrained
+    from dilabhelmholtzoct_tpu.models.sam import init_params
+    from dilabhelmholtzoct_tpu.utils.checkpoint import export_reference_pt
+
+    cfg = _our_tiny()
+    params = init_params(jax.random.PRNGKey(3), cfg)
+    path = str(tmp_path / "export.pt")
+    export_reference_pt(params, cfg, path)
+    restored = load_pretrained(path, cfg)
+
+    flat_a, _ = jax.tree_util.tree_flatten(params)
+    flat_b, _ = jax.tree_util.tree_flatten(restored)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def test_pt_export_loads_into_hf():
+    """Our exported .pt is accepted by HF SamModel.load_state_dict."""
+    import jax
+
+    from dilabhelmholtzoct_tpu.models.convert import to_hf_state_dict
+    from dilabhelmholtzoct_tpu.models.sam import init_params
+
+    cfg = _our_tiny()
+    params = init_params(jax.random.PRNGKey(4), cfg)
+    sd = {k: torch.tensor(np.asarray(v))
+          for k, v in to_hf_state_dict(params, cfg).items()}
+    model = transformers.SamModel(_hf_tiny())
+    missing, unexpected = model.load_state_dict(sd, strict=False)
+    assert not unexpected, unexpected
+    # only buffers/tied weights may be missing
+    assert all("positional_embedding" in m for m in missing), missing
