@@ -63,7 +63,8 @@ class JsonlLogger:
 class WandbLogger:
     """Optional wandb backend (parity with training.py:173-180)."""
 
-    def __init__(self, project, entity=None, name=None, config=None, dir=None):
+    def __init__(self, project="dilabhelmholtzoct-tpu", entity=None,
+                 name=None, config=None, dir=None):
         import wandb  # gated: not installed in this image
 
         self._wandb = wandb
