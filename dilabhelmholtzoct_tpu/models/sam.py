@@ -147,7 +147,8 @@ def vision_attention(x, p, cfg: VisionConfig):
     n_heads = cfg.num_heads
     head_dim = c // n_heads
     qkv = linear(x.reshape(b, h * w, c), p["qkv"])  # (B, HW, 3C)
-    qkv = qkv.reshape(b, h * w, 3, n_heads, head_dim)
+    qkv = qkv.reshape(b, h * w, 3, n_heads, head_dim)  # free reshape
+
     q, k, v = jnp.moveaxis(qkv, 2, 0)  # each (B, HW, heads, d)
     q = q.transpose(0, 2, 1, 3)  # (B, heads, HW, d)
     k = k.transpose(0, 2, 1, 3)
@@ -172,6 +173,7 @@ def vision_attention(x, p, cfg: VisionConfig):
             interpret=(_FLASH_MODE == "interpret"),
         )
         out = out.reshape(b, n_heads, h * w, head_dim)
+        out = out.transpose(0, 2, 1, 3).reshape(b, h, w, c)
     else:
         logits = jnp.einsum(
             "bnqd,bnkd->bnqk", q * (head_dim**-0.5), k,
@@ -183,7 +185,7 @@ def vision_attention(x, p, cfg: VisionConfig):
             ).astype(logits.dtype)
         attn = _softmax_f32(logits).astype(v.dtype)
         out = jnp.einsum("bnqk,bnkd->bnqd", attn, v)
-    out = out.transpose(0, 2, 1, 3).reshape(b, h, w, c)
+        out = out.transpose(0, 2, 1, 3).reshape(b, h, w, c)
     return linear(out, p["proj"])
 
 

@@ -151,6 +151,102 @@ def flash_attention_relpos(
     )(q, k, v, rel_h, rel_w)
 
 
+def flash_attention_qkv(qkv, rel_h, rel_w, *, hw, tq: int = 512,
+                        tk: int = 512, interpret: bool = False):
+    """Flash attention reading q/k/v and writing output in the ViT's natural
+    layouts — no (B, heads, N, d) transposes (the XLA layout copies those
+    force cost ~26% of encoder time at B=8).
+
+    qkv:   (B, N, 3, heads, d) — a free reshape of the qkv projection
+    rel_h: (B, N, heads, H)    — bias factors in natural order
+    rel_w: (B, N, heads, W)
+    Returns (B, N, heads, d), reshapeable to (B, H, W, C) for free.
+    """
+    b, n, three, n_heads, d = qkv.shape
+    assert three == 3
+    h, w = hw
+    assert n == h * w
+    tq = min(tq, n)
+    tk = min(tk, n)
+    assert n % tq == 0 and n % tk == 0 and tk % w == 0
+    scale = d ** -0.5
+
+    def kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref):
+        # q_ref: (1, TQ, 1, 1, d); k_ref/v_ref: (1, N, 1, 1, d)
+        # rh_ref: (1, TQ, 1, H); rw_ref: (1, TQ, 1, W); o_ref: (1, TQ, 1, d)
+        tq_, d_ = q_ref.shape[1], q_ref.shape[4]
+        n_ = k_ref.shape[1]
+        rows_per_blk = tk // w
+        n_blocks = n_ // tk
+        q = q_ref[0, :, 0, 0, :]
+        rh = rh_ref[0, :, 0, :]
+        rw = rw_ref[0, :, 0, :]
+
+        t_idx = jax.lax.broadcasted_iota(jnp.int32, (w, tk), 1)
+        c_idx = jax.lax.broadcasted_iota(jnp.int32, (w, tk), 0)
+        sel_w = (t_idx % w == c_idx).astype(rw.dtype)
+        rw_bias = jax.lax.dot_general(
+            rw, sel_w, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        h_dim = rh.shape[1]
+        th_idx = jax.lax.broadcasted_iota(jnp.int32, (h_dim, tk), 1)
+        hh_idx = jax.lax.broadcasted_iota(jnp.int32, (h_dim, tk), 0)
+
+        def body(j, carry):
+            m, l, acc = carry
+            k_blk = k_ref[0, pl.ds(j * tk, tk), 0, 0, :]
+            v_blk = v_ref[0, pl.ds(j * tk, tk), 0, 0, :]
+            s = jax.lax.dot_general(
+                q, k_blk, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            sel_h = (hh_idx == j * rows_per_blk + th_idx // w).astype(rh.dtype)
+            rh_bias = jax.lax.dot_general(
+                rh, sel_h, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s = s + rh_bias + rw_bias
+            m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp(m - m_new)
+            p = jnp.exp(s - m_new)
+            l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+            acc_new = acc * alpha + jax.lax.dot_general(
+                p.astype(v_blk.dtype), v_blk,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return m_new, l_new, acc_new
+
+        m0 = jnp.full((tq_, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((tq_, 1), jnp.float32)
+        acc0 = jnp.zeros((tq_, d_), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, n_blocks, body, (m0, l0, acc0))
+        o_ref[0, :, 0, :] = (acc / l).astype(o_ref.dtype)
+
+    grid = (b, n_heads, n // tq)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tq, 1, 1, d), lambda bb, hh, i: (bb, i, 0, hh, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, 1, 1, d), lambda bb, hh, i: (bb, 0, 1, hh, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, 1, 1, d), lambda bb, hh, i: (bb, 0, 2, hh, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq, 1, h), lambda bb, hh, i: (bb, i, hh, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq, 1, w), lambda bb, hh, i: (bb, i, hh, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tq, 1, d), lambda bb, hh, i: (bb, i, hh, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, n_heads, d), qkv.dtype),
+        interpret=interpret,
+    )(qkv, qkv, qkv, rel_h, rel_w)
+
+
 def attention_reference(q, k, v, rel_h, rel_w, *, hw):
     """XLA reference implementation (same math, materialized bias)."""
     d = q.shape[-1]

@@ -80,3 +80,29 @@ def test_encoder_flash_path_matches_xla(rng):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), atol=5e-5, rtol=1e-4
     )
+
+
+def test_flash_qkv_layout_matches_reference(rng):
+    """Transpose-free qkv-layout kernel == reference math."""
+    from dilabhelmholtzoct_tpu.ops.attention import flash_attention_qkv
+
+    b, nh, d, h, w = 2, 3, 32, 8, 8
+    n = h * w
+    qkv = rng.normal(size=(b, n, 3, nh, d)).astype(np.float32)
+    rel_h = (rng.normal(size=(b, n, nh, h)) * 0.3).astype(np.float32)
+    rel_w = (rng.normal(size=(b, n, nh, w)) * 0.3).astype(np.float32)
+
+    got = flash_attention_qkv(
+        jnp.asarray(qkv), jnp.asarray(rel_h), jnp.asarray(rel_w),
+        hw=(h, w), tq=16, tk=16, interpret=True,
+    )  # (B, N, nh, d)
+
+    # reference path wants (B*nh, N, d)
+    q = qkv[:, :, 0].transpose(0, 2, 1, 3).reshape(b * nh, n, d)
+    k = qkv[:, :, 1].transpose(0, 2, 1, 3).reshape(b * nh, n, d)
+    v = qkv[:, :, 2].transpose(0, 2, 1, 3).reshape(b * nh, n, d)
+    rh = rel_h.transpose(0, 2, 1, 3).reshape(b * nh, n, h)
+    rw = rel_w.transpose(0, 2, 1, 3).reshape(b * nh, n, w)
+    want = attention_reference(*map(jnp.asarray, (q, k, v, rh, rw)), hw=(h, w))
+    want = np.asarray(want).reshape(b, nh, n, d).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=1e-4)
