@@ -129,3 +129,41 @@ def test_eval_cli(tmp_path, rng):
     ])
     assert out.exists()
     assert "_means" in report
+
+
+def test_eval_harness_stop_at_padded_zero(engine, rng):
+    """Component-to-class bucketing terminates at a zero value after c>0
+    (reference parity, training_utils.py:128-131)."""
+    from dilabhelmholtzoct_tpu.data.sampling import PromptedSample
+    from dilabhelmholtzoct_tpu.eval.harness import evaluate_metrics
+    from dilabhelmholtzoct_tpu.train.trainer import TrainConfig
+
+    comp_map = np.zeros((64, 96), np.int32)
+    comp_map[5:20, 5:30] = 1
+    comp_map[30:50, 40:80] = 2
+    comp_map[55:60, 5:20] = 3
+    comp_map[60:63, 85:95] = 4
+    sample = PromptedSample(
+        bboxes=np.array([[5, 5, 30, 20], [40, 30, 80, 50],
+                         [5, 55, 20, 60], [85, 60, 95, 63]], np.float32),
+        comp_map=comp_map,
+        # zero value at position 2 (c>0) must terminate the scan: the class-3
+        # component at c=3 is never counted
+        mask_values=np.array([0, 1, 0, 3], np.int32),
+    )
+
+    class _DS:
+        def __len__(self):
+            return 1
+
+        def __getitem__(self, i):
+            img = np.zeros((64, 96, 3), np.uint8)
+            return img, sample
+
+    config = TrainConfig(mask_dict={i: str(i) for i in range(4)})
+    report = evaluate_metrics(
+        engine.params, engine.cfg, config, _DS(), orig_hw=(64, 96),
+        num_classes=4, batch_encode=0,
+    )
+    assert "1" in report       # class 1 counted (c=1)
+    assert "3" not in report   # terminated before c=3
