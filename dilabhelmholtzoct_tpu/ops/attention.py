@@ -147,6 +147,12 @@ def flash_attention_relpos(
         out_specs=pl.BlockSpec((1, tq, d), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            # qk + rel-pos one-hot expansion + pv per (q, k) tile pair
+            flops=3 * 2 * bh * n * n * d,
+            bytes_accessed=bh * n * (3 * d + h + w) * q.dtype.itemsize * 2,
+            transcendentals=bh * n * n,  # exp per score
+        ),
         interpret=interpret,
     )(q, k, v, rel_h, rel_w)
 
