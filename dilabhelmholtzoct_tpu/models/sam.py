@@ -80,8 +80,12 @@ def resize_rel_pos(rel_pos: jnp.ndarray, target_len: int) -> jnp.ndarray:
     """
     if rel_pos.shape[0] == target_len:
         return rel_pos
+    # antialias=False: torch F.interpolate(mode='linear') never antialiases,
+    # while jax.image.resize defaults to antialias=True on downscale —
+    # matters only for non-stock window/grid geometry (ADVICE r1).
     return jax.image.resize(
-        rel_pos, (target_len, rel_pos.shape[1]), method="linear"
+        rel_pos, (target_len, rel_pos.shape[1]), method="linear",
+        antialias=False,
     )
 
 
@@ -146,8 +150,32 @@ def vision_attention(x, p, cfg: VisionConfig):
     b, h, w, c = x.shape
     n_heads = cfg.num_heads
     head_dim = c // n_heads
-    qkv = linear(x.reshape(b, h * w, c), p["qkv"])  # (B, HW, 3C)
-    qkv = qkv.reshape(b, h * w, 3, n_heads, head_dim)  # free reshape
+    qkv_flat = linear(x.reshape(b, h * w, c), p["qkv"])  # (B, HW, 3C)
+
+    if (cfg.use_rel_pos and _use_flash(h * w)
+            and head_dim == 64 and n_heads % 2 == 0):
+        # Transpose-free path: the packed kernel reads the fused qkv
+        # projection and writes token-order output directly — the
+        # (B, heads, N, d) layout copies below cost 26% of encoder device
+        # time in round 1 (docs/ROADMAP.md).
+        from ..ops.attention import flash_attention_packed
+
+        rh = rel_pos_table(p["rel_pos_h"], h, h)  # (H, H, d)
+        rw = rel_pos_table(p["rel_pos_w"], w, w)
+        q_nat = qkv_flat[:, :, :c].reshape(b, h, w, n_heads, head_dim)
+        rel_h = jnp.einsum(
+            "bxyhc,xkc->bhxyk", q_nat, rh.astype(x.dtype)
+        ).reshape(b, n_heads, h * w, h)
+        rel_w = jnp.einsum(
+            "bxyhc,ykc->bhxyk", q_nat, rw.astype(x.dtype)
+        ).reshape(b, n_heads, h * w, w)
+        out = flash_attention_packed(
+            qkv_flat, rel_h, rel_w, hw=(h, w), num_heads=n_heads,
+            interpret=(_FLASH_MODE == "interpret"),
+        )
+        return linear(out.reshape(b, h, w, c), p["proj"])
+
+    qkv = qkv_flat.reshape(b, h * w, 3, n_heads, head_dim)  # free reshape
 
     q, k, v = jnp.moveaxis(qkv, 2, 0)  # each (B, HW, heads, d)
     q = q.transpose(0, 2, 1, 3)  # (B, heads, HW, d)

@@ -157,98 +157,221 @@ def flash_attention_relpos(
     )(q, k, v, rel_h, rel_w)
 
 
-def flash_attention_qkv(qkv, rel_h, rel_w, *, hw, tq: int = 512,
-                        tk: int = 512, interpret: bool = False):
-    """Flash attention reading q/k/v and writing output in the ViT's natural
-    layouts — no (B, heads, N, d) transposes (the XLA layout copies those
-    force cost ~26% of encoder time at B=8).
+def _packed_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref,
+                   m_ref, l_ref, acc_ref, qcat_ref,
+                   *, w: int, scale: float, n_kblocks: int):
+    """One (b, head-pair, q-block, k-block) program over NATURAL-layout qkv.
 
-    qkv:   (B, N, 3, heads, d) — a free reshape of the qkv projection
-    rel_h: (B, N, heads, H)    — bias factors in natural order
-    rel_w: (B, N, heads, W)
-    Returns (B, N, heads, d), reshapeable to (B, H, W, C) for free.
+    Two d=64 heads are packed side-by-side into one 128-lane block (the
+    smallest Mosaic-legal lane tile), so the kernel reads the fused qkv
+    projection output directly — zero (B, heads, N, d) layout copies, which
+    cost 26% of encoder device time in round 1 (docs/ROADMAP.md).
+
+    The k dimension is the innermost GRID axis (not an in-kernel loop): k/v
+    arrive as (1, TK, 128) blocks that Pallas double-buffers, keeping VMEM
+    at a few MB even in f32 (a full-N k block OOMed the 16 MB VMEM budget).
+    Online-softmax state (m, l, acc) lives in scratch across k steps.
+
+    Per-head scores come from lane-masked 128-deep dots: masking the OTHER
+    head's 64 query lanes to zero makes the full-width contraction equal the
+    per-head 64-deep contraction, at identical MXU cost (a d=64 dot pads to
+    the 128-wide systolic array anyway). Both heads stack row-wise so each
+    k block costs ONE score dot and ONE pv dot; the pv accumulator carries
+    garbage in the other head's lanes, discarded by the final lane-select.
     """
-    b, n, three, n_heads, d = qkv.shape
-    assert three == 3
-    h, w = hw
-    assert n == h * w
-    tq = min(tq, n)
-    tk = min(tk, n)
-    assert n % tq == 0 and n % tk == 0 and tk % w == 0
-    scale = d ** -0.5
+    tq = q_ref.shape[1]
+    tk = k_ref.shape[1]
+    h_dim = rh_ref.shape[3]
+    rows_per_blk = tk // w
+    j = pl.program_id(3)
 
-    def kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref):
-        # q_ref: (1, TQ, 1, 1, d); k_ref/v_ref: (1, N, 1, 1, d)
-        # rh_ref: (1, TQ, 1, H); rw_ref: (1, TQ, 1, W); o_ref: (1, TQ, 1, d)
-        tq_, d_ = q_ref.shape[1], q_ref.shape[4]
-        n_ = k_ref.shape[1]
-        rows_per_blk = tk // w
-        n_blocks = n_ // tk
-        q = q_ref[0, :, 0, 0, :]
-        rh = rh_ref[0, :, 0, :]
-        rw = rw_ref[0, :, 0, :]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tq, 128), 1)
+    is_a = lane < 64
+    # Pad each head's row block to a multiple of 8 so the final row split
+    # lands on a Mosaic-legal sublane offset (windowed layers have TQ=196).
+    # Padded zero rows see all-zero scores -> uniform softmax, discarded.
+    tq_pad = -(-tq // 8) * 8
+    pad_rows = tq_pad - tq
 
-        t_idx = jax.lax.broadcasted_iota(jnp.int32, (w, tk), 1)
-        c_idx = jax.lax.broadcasted_iota(jnp.int32, (w, tk), 0)
-        sel_w = (t_idx % w == c_idx).astype(rw.dtype)
-        rw_bias = jax.lax.dot_general(
-            rw, sel_w, dimension_numbers=(((1,), (0,)), ((), ())),
+    def build_q_cat():
+        """Augmented query: [q_a*sc | rh_a | rw_a] over [q_b*sc | rh_b |
+        rw_b], heads stacked row-wise — (2·TQ_pad, 128 + H + W).
+
+        Both masks via jnp.where: Mosaic gives where() outputs a
+        dot-friendly register layout; feeding the raw (or arithmetically
+        derived) q block into the NT dot hits a ~1000x scalar-fallback
+        cliff (measured). The softmax scale (1/sqrt(64) = 2^-3, a power of
+        two) folds into the bf16 q mask exactly (mantissa untouched), so
+        no post-dot rescale pass. Folding the decomposed rel-pos bias INTO
+        the score matmul ([q*sc | rh | rw] · [k | sel_h | sel_w]^T) lets
+        one MXU dot replace (qk dot + rh one-hot dot + two VPU adds over
+        the (TQ, TK) f32 scores).
+        """
+        q = q_ref[0]  # (TQ, 128) = heads (2g, 2g+1) side by side
+        zeros = jnp.zeros_like(q)
+        sc = jnp.asarray(scale, q.dtype)
+        q_a = jnp.where(is_a, q * sc, zeros)
+        q_b = jnp.where(is_a, zeros, q * sc)
+        rh_a, rh_b = rh_ref[0, 0], rh_ref[0, 1]  # (TQ, H)
+        rw_a, rw_b = rw_ref[0, 0], rw_ref[0, 1]  # (TQ, W)
+
+        def head_rows(q_m, rh_fac, rw_fac):
+            cat = jnp.concatenate([q_m, rh_fac, rw_fac], axis=1)
+            if pad_rows:
+                cat = jnp.pad(cat, ((0, pad_rows), (0, 0)))
+            return cat
+
+        return jnp.concatenate(
+            [head_rows(q_a, rh_a, rw_a), head_rows(q_b, rh_b, rw_b)], axis=0
+        )
+
+    if n_kblocks == 1:
+        # Single k step (windowed layers): no online state to carry; skip
+        # the scratch roundtrips entirely.
+        q_cat = build_q_cat()
+    else:
+        @pl.when(j == 0)
+        def _init():
+            m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+            l_ref[...] = jnp.zeros_like(l_ref)
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+            # Build the augmented query once per (b, g, i); later k steps
+            # reuse the scratch copy.
+            qcat_ref[...] = build_q_cat()
+
+        q_cat = qcat_ref[...]
+
+    # One-hot selectors: bias[q, t] = rh[q, kh(t)] + rw[q, kw(t)] with
+    # kh = j*rows_per_blk + t//w, kw = t % w (no unaligned lane slicing on
+    # Mosaic — expansions must be matmuls).
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (tk, w), 0)
+    c_idx = jax.lax.broadcasted_iota(jnp.int32, (tk, w), 1)
+    sel_w = (t_idx % w == c_idx).astype(q_cat.dtype)  # (TK, W)
+    th_idx = jax.lax.broadcasted_iota(jnp.int32, (tk, h_dim), 0)
+    hh_idx = jax.lax.broadcasted_iota(jnp.int32, (tk, h_dim), 1)
+    sel_h = (hh_idx == j * rows_per_blk + th_idx // w).astype(q_cat.dtype)
+
+    k_cat = jnp.concatenate([k_ref[0], sel_h, sel_w], axis=1)
+    s = jax.lax.dot_general(
+        q_cat, k_cat, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (2·TQ_pad, TK) f32, scale and bias included
+
+    def pv(p):
+        return jax.lax.dot_general(
+            p.astype(k_ref.dtype), v_ref[0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        h_dim = rh.shape[1]
-        th_idx = jax.lax.broadcasted_iota(jnp.int32, (h_dim, tk), 1)
-        hh_idx = jax.lax.broadcasted_iota(jnp.int32, (h_dim, tk), 0)
 
-        def body(j, carry):
-            m, l, acc = carry
-            k_blk = k_ref[0, pl.ds(j * tk, tk), 0, 0, :]
-            v_blk = v_ref[0, pl.ds(j * tk, tk), 0, 0, :]
-            s = jax.lax.dot_general(
-                q, k_blk, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale
-            sel_h = (hh_idx == j * rows_per_blk + th_idx // w).astype(rh.dtype)
-            rh_bias = jax.lax.dot_general(
-                rh, sel_h, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            s = s + rh_bias + rw_bias
-            m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
-            alpha = jnp.exp(m - m_new)
-            p = jnp.exp(s - m_new)
-            l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
-            acc_new = acc * alpha + jax.lax.dot_general(
-                p.astype(v_blk.dtype), v_blk,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            return m_new, l_new, acc_new
+    def select_out(out):
+        # head a rows [0, TQ), head b rows [TQ_pad, TQ_pad + TQ)
+        return jnp.where(
+            is_a, out[:tq], out[tq_pad:tq_pad + tq]
+        ).astype(o_ref.dtype)
 
-        m0 = jnp.full((tq_, 1), NEG_INF, jnp.float32)
-        l0 = jnp.zeros((tq_, 1), jnp.float32)
-        acc0 = jnp.zeros((tq_, d_), jnp.float32)
-        m, l, acc = jax.lax.fori_loop(0, n_blocks, body, (m0, l0, acc0))
-        o_ref[0, :, 0, :] = (acc / l).astype(o_ref.dtype)
+    if n_kblocks == 1:
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        o_ref[0] = select_out(pv(p) / l)
+    else:
+        m = m_ref[...]
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)
+        m_ref[...] = m_new
+        l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_ref[...] = acc_ref[...] * alpha + pv(p)
 
-    grid = (b, n_heads, n // tq)
+        @pl.when(j == n_kblocks - 1)
+        def _finish():
+            o_ref[0] = select_out(acc_ref[...] / l_ref[...])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("hw", "num_heads", "tq", "tk", "interpret")
+)
+def flash_attention_packed(qkv, rel_h, rel_w, *, hw, num_heads: int,
+                           tq: int = 512, tk: int = 1024,
+                           interpret: bool = False):
+    """Transpose-free streaming attention over the fused qkv projection.
+
+    qkv:   (B, N, 3C) — the qkv linear's raw output, untouched. Feature
+           order (3, heads, 64) means head pair g's queries live at lanes
+           [128g, 128g+128), keys at C + 128g, values at 2C + 128g — all
+           128-aligned, so BlockSpec index maps slice them for free.
+    rel_h: (B, heads, N, hw[0]) — bias factor over key rows
+    rel_w: (B, heads, N, hw[1]) — bias factor over key cols
+    Returns (B, N, C) in natural token order (head outputs re-interleaved by
+    the final lane-select), ready for the output projection with no copies.
+
+    Requires head_dim == 64 (every SAM variant) and even num_heads.
+    """
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    d = c // num_heads
+    assert d == 64, f"packed kernel requires head_dim 64, got {d}"
+    assert num_heads % 2 == 0, num_heads
+    pairs = num_heads // 2
+    h, w = hw
+    assert n == h * w, (n, hw)
+    tq = min(tq, n)
+    tk = min(tk, n)
+    assert n % tq == 0 and n % tk == 0 and tk % w == 0, (n, tq, tk, w)
+    scale = d ** -0.5
+    tq_pad = -(-tq // 8) * 8
+    n_kblocks = n // tk
+
+    grid = (b, pairs, n // tq, n_kblocks)
+    kernel = functools.partial(_packed_kernel, w=w, scale=scale,
+                               n_kblocks=n_kblocks)
+    try:
+        compiler_params = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        )
+    except AttributeError:  # older pallas API name
+        compiler_params = pltpu.TPUCompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        )
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, tq, 1, 1, d), lambda bb, hh, i: (bb, i, 0, hh, 0),
+            # q / k / v: 128-lane slices of the same natural qkv array
+            pl.BlockSpec((1, tq, 128), lambda bb, g, i, j: (bb, i, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, 1, 1, d), lambda bb, hh, i: (bb, 0, 1, hh, 0),
+            pl.BlockSpec((1, tk, 128), lambda bb, g, i, j: (bb, j, pairs + g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, 1, 1, d), lambda bb, hh, i: (bb, 0, 2, hh, 0),
+            pl.BlockSpec((1, tk, 128),
+                         lambda bb, g, i, j: (bb, j, 2 * pairs + g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tq, 1, h), lambda bb, hh, i: (bb, i, hh, 0),
+            pl.BlockSpec((1, 2, tq, h), lambda bb, g, i, j: (bb, g, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tq, 1, w), lambda bb, hh, i: (bb, i, hh, 0),
+            pl.BlockSpec((1, 2, tq, w), lambda bb, g, i, j: (bb, g, i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tq, 1, d), lambda bb, hh, i: (bb, i, hh, 0),
+        out_specs=pl.BlockSpec((1, tq, 128), lambda bb, g, i, j: (bb, i, g),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n, n_heads, d), qkv.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), qkv.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2 * tq_pad, 1), jnp.float32),    # running max
+            pltpu.VMEM((2 * tq_pad, 1), jnp.float32),    # running denom
+            pltpu.VMEM((2 * tq_pad, 128), jnp.float32),  # output accumulator
+            pltpu.VMEM((2 * tq_pad, 128 + h + w), qkv.dtype),  # augmented q
+        ],
+        compiler_params=compiler_params,
+        cost_estimate=pl.CostEstimate(
+            # qk + rel-pos one-hot expansion + pv per (q, k) tile pair,
+            # for both packed heads
+            flops=2 * 3 * 2 * b * pairs * n * n * 128,
+            bytes_accessed=(
+                b * n * (3 * c + num_heads * (h + w)) * qkv.dtype.itemsize * 2
+            ),
+            transcendentals=b * num_heads * n * n,
+        ),
         interpret=interpret,
     )(qkv, qkv, qkv, rel_h, rel_w)
 

@@ -82,27 +82,72 @@ def test_encoder_flash_path_matches_xla(rng):
     )
 
 
-def test_flash_qkv_layout_matches_reference(rng):
-    """Transpose-free qkv-layout kernel == reference math."""
-    from dilabhelmholtzoct_tpu.ops.attention import flash_attention_qkv
+@pytest.mark.parametrize("nh,tq,tk", [(2, 16, 16), (4, 32, 8), (6, 64, 64)])
+def test_flash_packed_matches_reference(rng, nh, tq, tk):
+    """Packed head-pair kernel (natural qkv layout) == reference math."""
+    from dilabhelmholtzoct_tpu.ops.attention import flash_attention_packed
 
-    b, nh, d, h, w = 2, 3, 32, 8, 8
-    n = h * w
-    qkv = rng.normal(size=(b, n, 3, nh, d)).astype(np.float32)
-    rel_h = (rng.normal(size=(b, n, nh, h)) * 0.3).astype(np.float32)
-    rel_w = (rng.normal(size=(b, n, nh, w)) * 0.3).astype(np.float32)
+    d, h, w = 64, 8, 8
+    n, c = h * w, nh * d
+    qkv = rng.normal(size=(b := 2, n, 3 * c)).astype(np.float32)
+    rel_h = (rng.normal(size=(b, nh, n, h)) * 0.3).astype(np.float32)
+    rel_w = (rng.normal(size=(b, nh, n, w)) * 0.3).astype(np.float32)
 
-    got = flash_attention_qkv(
+    got = flash_attention_packed(
         jnp.asarray(qkv), jnp.asarray(rel_h), jnp.asarray(rel_w),
-        hw=(h, w), tq=16, tk=16, interpret=True,
-    )  # (B, N, nh, d)
+        hw=(h, w), num_heads=nh, tq=tq, tk=tk, interpret=True,
+    )  # (B, N, C)
 
-    # reference path wants (B*nh, N, d)
-    q = qkv[:, :, 0].transpose(0, 2, 1, 3).reshape(b * nh, n, d)
-    k = qkv[:, :, 1].transpose(0, 2, 1, 3).reshape(b * nh, n, d)
-    v = qkv[:, :, 2].transpose(0, 2, 1, 3).reshape(b * nh, n, d)
-    rh = rel_h.transpose(0, 2, 1, 3).reshape(b * nh, n, h)
-    rw = rel_w.transpose(0, 2, 1, 3).reshape(b * nh, n, w)
+    # reference path wants (B*nh, N, d): unpack the natural feature order
+    split = qkv.reshape(b, n, 3, nh, d)
+    q = split[:, :, 0].transpose(0, 2, 1, 3).reshape(b * nh, n, d)
+    k = split[:, :, 1].transpose(0, 2, 1, 3).reshape(b * nh, n, d)
+    v = split[:, :, 2].transpose(0, 2, 1, 3).reshape(b * nh, n, d)
+    rh = rel_h.reshape(b * nh, n, h)
+    rw = rel_w.reshape(b * nh, n, w)
     want = attention_reference(*map(jnp.asarray, (q, k, v, rh, rw)), hw=(h, w))
-    want = np.asarray(want).reshape(b, nh, n, d).transpose(0, 2, 1, 3)
+    want = (
+        np.asarray(want).reshape(b, nh, n, d).transpose(0, 2, 1, 3)
+        .reshape(b, n, c)
+    )
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=1e-4)
+
+
+def test_encoder_packed_path_matches_xla(rng):
+    """encode_image routes through the packed kernel when head_dim==64."""
+    import jax
+    from dilabhelmholtzoct_tpu.models.configs import (
+        SamConfig, VisionConfig, PromptConfig, DecoderConfig,
+    )
+    from dilabhelmholtzoct_tpu.models import sam as sam_mod
+
+    cfg = SamConfig(
+        vision=VisionConfig(
+            hidden_size=128, num_layers=2, num_heads=2, image_size=128,
+            patch_size=16, window_size=4, global_attn_indexes=(1,),
+            mlp_dim=128, output_channels=32,
+        ),
+        prompt=PromptConfig(hidden_size=32, image_embedding_size=8,
+                            input_image_size=128),
+        decoder=DecoderConfig(hidden_size=32, num_layers=2, num_heads=4,
+                              mlp_dim=64, iou_head_hidden_dim=32),
+        num_pos_feats=16,
+    )
+    params = sam_mod.init_params(jax.random.PRNGKey(0), cfg)
+    for lp in params["vision"]["layers"]:
+        for key in ("rel_pos_h", "rel_pos_w"):
+            lp["attn"][key] = jnp.asarray(
+                rng.normal(size=lp["attn"][key].shape).astype(np.float32)
+                * 0.2
+            )
+    pix = jnp.asarray(rng.normal(size=(1, 128, 128, 3)).astype(np.float32))
+    sam_mod.set_flash_attention("off")
+    want = sam_mod.encode_image(params, pix, cfg)
+    try:
+        sam_mod.set_flash_attention("interpret")
+        got = sam_mod.encode_image(params, pix, cfg)
+    finally:
+        sam_mod.set_flash_attention("auto")
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=5e-5, rtol=1e-4
+    )

@@ -1,0 +1,130 @@
+"""Device-time attribution for jitted programs via the XLA profiler.
+
+Parses the ``*.xplane.pb`` trace the axon TPU runtime produces (the tunnel's
+wall timings are polluted by ~29 ms dispatch RTT; the xplane device lines are
+the only trustworthy attribution — see docs/ROADMAP.md).
+
+Usage:
+    python tools/profile_device.py encoder [--batch 8] [--runs 4]
+    python tools/profile_device.py step    [--batch 8]   # full train step
+
+Prints per-op device time sorted descending, grouped by op kind.
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import os
+import re
+import sys
+import tempfile
+
+os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def collect_xplane(logdir: str, runs: int):
+    """Sum XLA-op durations on the TPU device plane, averaged over runs."""
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2  # type: ignore
+
+    paths = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
+                      recursive=True)
+    assert paths, f"no xplane.pb under {logdir}"
+    totals: dict[str, float] = collections.defaultdict(float)
+    for path in paths:
+        space = xplane_pb2.XSpace()
+        with open(path, "rb") as f:
+            space.ParseFromString(f.read())
+        for plane in space.planes:
+            if "TPU" not in plane.name or "device" not in plane.name.lower():
+                if not re.search(r"/device:TPU:\d+$", plane.name):
+                    continue
+            ev_names = {i: m.name for i, m in plane.event_metadata.items()}
+            for line in plane.lines:
+                if line.name != "XLA Ops":
+                    continue
+                for ev in line.events:
+                    name = ev_names.get(ev.metadata_id, "?")
+                    totals[name] += ev.duration_ps / 1e9 / runs  # -> ms
+    return dict(totals)
+
+
+_GROUPS = [
+    ("flash/pallas", r"flash|pallas|custom-call"),
+    ("conv/matmul", r"convolution|dot|fusion.*gemm"),
+    ("copy/transpose", r"copy|transpose|bitcast"),
+    ("reduce/norm", r"reduce"),
+    ("elementwise/fusion", r"fusion"),
+]
+
+
+def group_of(name: str) -> str:
+    low = name.lower()
+    for g, pat in _GROUPS:
+        if re.search(pat, low):
+            return g
+    return "other"
+
+
+def report(totals: dict[str, float], top: int = 25):
+    items = sorted(totals.items(), key=lambda kv: -kv[1])
+    total = sum(totals.values())
+    print(f"\n== device total: {total:.2f} ms ==")
+    groups: dict[str, float] = collections.defaultdict(float)
+    for name, ms in items:
+        groups[group_of(name)] += ms
+    for g, ms in sorted(groups.items(), key=lambda kv: -kv[1]):
+        print(f"  {g:<22} {ms:8.2f} ms  {100*ms/total:5.1f}%")
+    print(f"\n-- top {top} ops --")
+    for name, ms in items[:top]:
+        print(f"  {ms:8.3f} ms  {name[:110]}")
+
+
+def profile_encoder(batch: int, runs: int, dtype: str):
+    import jax
+    import jax.numpy as jnp
+    from dilabhelmholtzoct_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    from dilabhelmholtzoct_tpu.models import sam_vit_base, init_params
+    from dilabhelmholtzoct_tpu.models.sam import encode_image
+
+    cfg = sam_vit_base()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    cdt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    params = jax.tree.map(
+        lambda x: x.astype(cdt) if x.dtype == jnp.float32 else x, params)
+    pix = jax.random.normal(jax.random.PRNGKey(1),
+                            (batch, 1024, 1024, 3), cdt)
+
+    fwd = jax.jit(lambda p, x: encode_image(p, x, cfg))
+    out = fwd(params, pix)
+    out.block_until_ready()
+
+    logdir = tempfile.mkdtemp(prefix="prof_encoder_")
+    jax.profiler.start_trace(logdir)
+    for _ in range(runs):
+        out = fwd(params, pix)
+    out.block_until_ready()
+    jax.profiler.stop_trace()
+    totals = collect_xplane(logdir, runs)
+    report(totals)
+    total = sum(totals.values())
+    print(f"\nencoder B={batch} {dtype}: {total:.1f} ms device "
+          f"-> {batch / (total / 1e3):.1f} img/s (encoder only)")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("target", choices=["encoder"])
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--runs", type=int, default=4)
+    ap.add_argument("--dtype", default="bfloat16")
+    args = ap.parse_args()
+    if args.target == "encoder":
+        profile_encoder(args.batch, args.runs, args.dtype)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
