@@ -54,7 +54,7 @@ def build_demo(engine: SegmentationEngine):
     )
 
 
-def main(argv=None):
+def main(argv=None, *, allow_pickled_module_default: bool = False):
     parser = argparse.ArgumentParser()
     parser.add_argument("--base_model", type=str,
                         default="facebook/sam-vit-base")
@@ -63,10 +63,16 @@ def main(argv=None):
     parser.add_argument("--share", action="store_true",
                         help="public tunnel (the reference always shares, "
                              "app.py:62; here opt-in)")
+    parser.add_argument("--allow_pickled_module", action="store_true",
+                        default=allow_pickled_module_default,
+                        help="accept whole-pickled-module .pth checkpoints "
+                             "(reference app_organoid.py:12-13); pickles "
+                             "can execute code, so opt-in")
     args = parser.parse_args(argv)
 
     engine = SegmentationEngine.from_checkpoint(
-        args.base_model, args.checkpoint
+        args.base_model, args.checkpoint,
+        allow_pickled_module=args.allow_pickled_module,
     )
     try:
         demo = build_demo(engine)

@@ -2,9 +2,10 @@
 app_organoid.py — identical UI, sister-project checkpoint loaded as a
 whole pickled model ``torch.load(path + '.pth')``, app_organoid.py:12-13).
 
-Our converter accepts both state_dicts and pickled modules (convert.py
-``load_state_dict`` calls ``.state_dict()`` on module objects), so this is
-the same app with a different default checkpoint argument.
+Same UI as app.py; the one behavioral difference is the checkpoint format:
+this variant enables whole-pickled-module loading by default (convert.py
+``load_state_dict(allow_pickled_module=True)`` falls back to a full
+``torch.load`` and calls ``.state_dict()`` on the module object).
 """
 
 from __future__ import annotations
@@ -13,7 +14,7 @@ from .app import main as _main
 
 
 def main(argv=None):
-    return _main(argv)
+    return _main(argv, allow_pickled_module_default=True)
 
 
 if __name__ == "__main__":

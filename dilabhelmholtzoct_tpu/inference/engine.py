@@ -44,16 +44,21 @@ class SegmentationEngine:
 
     @classmethod
     def from_checkpoint(cls, base_model: str, checkpoint_path: str | None,
-                        **kw):
+                        allow_pickled_module: bool = False, **kw):
         """Load base config + (optionally fine-tuned) weights from a local
         HF-format checkpoint (.pt/.pth/.safetensors) — the app's load path
-        (app.py:11-15, app_organoid.py:12-13 whole-model pickles included)."""
+        (app.py:11-15). ``allow_pickled_module=True`` additionally accepts
+        whole-pickled-module files (app_organoid.py:12-13); opt-in because
+        arbitrary pickles can execute code."""
         from ..models.convert import load_pretrained
         from ..models.sam import init_params
 
         cfg = config_for(base_model)
         if checkpoint_path:
-            params = load_pretrained(checkpoint_path, cfg)
+            params = load_pretrained(
+                checkpoint_path, cfg,
+                allow_pickled_module=allow_pickled_module,
+            )
             params = jax.tree_util.tree_map(jnp.asarray, params)
         else:
             params = init_params(jax.random.PRNGKey(0), cfg)

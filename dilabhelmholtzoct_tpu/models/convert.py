@@ -26,15 +26,28 @@ def _to_numpy(t):
     return np.asarray(t, dtype=np.float32)
 
 
-def load_state_dict(path: str) -> dict:
-    """Load a torch ``.pt``/``.bin`` or ``.safetensors`` file as numpy dict."""
+def load_state_dict(path: str, *, allow_pickled_module: bool = False) -> dict:
+    """Load a torch ``.pt``/``.bin`` or ``.safetensors`` file as numpy dict.
+
+    ``allow_pickled_module=True`` additionally accepts a whole pickled
+    ``nn.Module`` (the organoid sister-project checkpoint format,
+    reference: octsam/inference/app_organoid.py:12-13 —
+    ``torch.load(path + ".pth")`` of a full model). Arbitrary pickles can
+    execute code, so this is opt-in; plain state_dicts never need it.
+    """
     if path.endswith(".safetensors"):
         from safetensors.numpy import load_file
 
         return dict(load_file(path))
     import torch
 
-    sd = torch.load(path, map_location="cpu", weights_only=True)
+    try:
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        if not allow_pickled_module:
+            raise
+        # Whole-module pickle: weights_only refuses it by design.
+        sd = torch.load(path, map_location="cpu", weights_only=False)
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
     return {k: _to_numpy(v) for k, v in sd.items()}
@@ -244,9 +257,15 @@ def from_hf_model(model, cfg: SamConfig) -> dict:
     return from_hf_state_dict(model.state_dict(), cfg)
 
 
-def load_pretrained(path: str, cfg: SamConfig) -> dict:
-    """Load an HF SAM checkpoint file (torch or safetensors) from disk."""
-    return from_hf_state_dict(load_state_dict(path), cfg)
+def load_pretrained(path: str, cfg: SamConfig, *,
+                    allow_pickled_module: bool = False) -> dict:
+    """Load an HF SAM checkpoint file (torch or safetensors) from disk.
+
+    ``allow_pickled_module=True`` opts in to whole-pickled-module ``.pth``
+    files (see ``load_state_dict``)."""
+    return from_hf_state_dict(
+        load_state_dict(path, allow_pickled_module=allow_pickled_module), cfg
+    )
 
 
 def to_hf_state_dict(params: dict, cfg: SamConfig) -> dict:

@@ -156,6 +156,9 @@ def config_from_args(args) -> TrainConfig:
         seed=args.seed,
         resume=args.resume,
         use_wandb=args.wandb,
+        project_name=args.project_name,
+        entity=args.entity,
+        wandb_dir=os.path.join(args.data_directory, "runs"),
         export_pt=True,  # reference parity: final .pt always written
     )
 

@@ -27,6 +27,7 @@ TPU-first design differences (documented divergences):
 from __future__ import annotations
 
 import contextlib
+import dataclasses
 import functools
 import os
 import time
@@ -90,6 +91,11 @@ class TrainConfig:
     resume: bool = False
     log_jsonl: str | None = None
     use_wandb: bool = False
+    # wandb.init identity (reference: training.py:173-180 — project/entity/
+    # run-name/config/save_code all forwarded)
+    project_name: str = "OCT-TPU-experiments"
+    entity: str | None = None
+    wandb_dir: str | None = None  # reference hardcodes "/vol/data/runs"
     topo_lamda: float = 0.1
     topo_feat_d: int = 1
     topo_interp: int = 50
@@ -421,6 +427,16 @@ def training(config: TrainConfig, logger: MultiLogger | None = None) -> dict:
             jsonl_path=config.log_jsonl
             or os.path.join(config.checkpoint, config.display_name, "metrics.jsonl"),
             use_wandb=config.use_wandb,
+            # reference contract: wandb.init(project=..., entity=...,
+            # name=display_name, config=<flat config>, save_code=True,
+            # dir=...) — training.py:173-180
+            wandb_kwargs={
+                "project": config.project_name,
+                "entity": config.entity,
+                "name": config.display_name,
+                "config": dataclasses.asdict(config),
+                "dir": config.wandb_dir,
+            },
         )
 
     cfg, params = prepare_model(config)

@@ -167,3 +167,50 @@ def test_eval_harness_stop_at_padded_zero(engine, rng):
     )
     assert "1" in report       # class 1 counted (c=1)
     assert "3" not in report   # terminated before c=3
+
+
+def test_eval_harness_over_64_components(engine):
+    """Samples with more than 64 components (the largest prompt bucket) are
+    evaluated in full via chunked inference — not silently truncated
+    (round-1 VERDICT weak #7 / ADVICE)."""
+    from dilabhelmholtzoct_tpu.data.sampling import PromptedSample
+    from dilabhelmholtzoct_tpu.eval.harness import (
+        evaluate_metrics,
+        make_infer_fn,
+    )
+    from dilabhelmholtzoct_tpu.train.trainer import TrainConfig
+
+    n = 70
+    comp_map = np.zeros((64, 96), np.int32)
+    boxes = []
+    i = 0
+    for r in range(7):
+        for c in range(10):
+            y, x = r * 9 + 1, c * 9 + 1
+            comp_map[y:y + 4, x:x + 5] = i + 1
+            boxes.append([x, y, x + 5, y + 4])
+            i += 1
+    sample = PromptedSample(
+        bboxes=np.asarray(boxes, np.float32),
+        comp_map=comp_map,
+        mask_values=np.ones(n, np.int32),
+    )
+    assert sample.n == n
+
+    config = TrainConfig(mask_dict={0: "bg", 1: "fg"})
+    infer = make_infer_fn(engine.params, engine.cfg, config, (64, 96))
+    probs = infer(np.zeros((64, 96, 3), np.uint8), sample)
+    assert probs.shape == (n, 64, 96)  # all 70, not clamped to 64
+
+    class _DS:
+        def __len__(self):
+            return 1
+
+        def __getitem__(self, i):
+            return np.zeros((64, 96, 3), np.uint8), sample
+
+    report = evaluate_metrics(
+        engine.params, engine.cfg, config, _DS(), orig_hw=(64, 96),
+        num_classes=2, batch_encode=0,
+    )
+    assert "fg" in report

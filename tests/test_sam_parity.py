@@ -277,3 +277,29 @@ def test_pt_export_loads_into_hf():
     assert not unexpected, unexpected
     # only buffers/tied weights may be missing
     assert all("positional_embedding" in m for m in missing), missing
+
+
+def test_pickled_module_checkpoint_load(tmp_path):
+    """Whole-pickled-model .pth (reference app_organoid.py:12-13,
+    ``torch.load(path + '.pth')`` of a full module) loads via
+    allow_pickled_module=True and is refused by default."""
+    from dilabhelmholtzoct_tpu.models.convert import (
+        from_hf_state_dict,
+        load_state_dict,
+    )
+
+    model = _randomized_hf_model(0)
+    path = str(tmp_path / "organoid.pth")
+    torch.save(model, path)
+
+    with pytest.raises(Exception):
+        load_state_dict(path)  # weights_only refuses arbitrary pickles
+
+    sd = load_state_dict(path, allow_pickled_module=True)
+    cfg = _our_tiny()
+    got = from_hf_state_dict(sd, cfg)
+    want = from_hf_model(model, cfg)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(got), jax.tree_util.tree_leaves(want)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
