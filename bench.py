@@ -59,16 +59,26 @@ def main():
 
     rng = np.random.default_rng(0)
     orig_hw = (496, 512)
+    # Blob-shaped components (like real OCT masks), NOT per-pixel noise: the
+    # topological loss's ground-truth diagrams must look like real masks
+    # (a few bars) — noise-vs-noise diagrams make exact Wasserstein matching
+    # quadratic in ~500 bars and benchmark the wrong workload.
+    comp_map = np.zeros((BATCH, *orig_hw), np.int32)
+    prompts = np.zeros((BATCH, N_PROMPTS, 4), np.float32)
+    for b in range(BATCH):
+        for c in range(N_PROMPTS):
+            y = int(rng.integers(10, orig_hw[0] - 90))
+            x = int(rng.integers(10, orig_hw[1] - 90))
+            hh = int(rng.integers(30, 80))
+            ww = int(rng.integers(30, 80))
+            comp_map[b, y:y + hh, x:x + ww] = c + 1
+            prompts[b, c] = (x, y, x + ww, y + hh)
     batch = {
         "image": jnp.asarray(
             rng.integers(0, 255, (BATCH, *orig_hw, 3)), jnp.uint8
         ),
-        "prompts": jnp.asarray(
-            rng.uniform(0, 400, (BATCH, N_PROMPTS, 4)), jnp.float32
-        ),
-        "comp_map": jnp.asarray(
-            rng.integers(0, N_PROMPTS + 1, (BATCH, *orig_hw)), jnp.int32
-        ),
+        "prompts": jnp.asarray(prompts),
+        "comp_map": jnp.asarray(comp_map),
         "channel_mask": jnp.ones((BATCH, N_PROMPTS), jnp.float32),
     }
 

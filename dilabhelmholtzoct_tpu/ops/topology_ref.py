@@ -1,19 +1,24 @@
 """Cubical persistent homology of 2D images — reference implementation.
 
 Computes the H0/H1 persistence pairing of the sublevel-set filtration of a
-2D grayscale image under the T-construction (pixels are top-cells,
-4-connectivity), the construction used by the reference's
-``torch_topological.nn.CubicalComplex`` (octsam/models/topological_loss.py:
-55-63) via gudhi.
+2D grayscale image under the T-construction (pixels are TOP cells: lower-
+dimensional cells take the min of their cofaces), the construction gudhi
+uses for ``CubicalComplex(top_dimensional_cells=...)`` and hence what the
+reference's ``torch_topological.nn.CubicalComplex`` computes
+(octsam/models/topological_loss.py:55-63). Under the T-construction two
+squares sharing only a vertex are connected through that vertex (its value
+is the min of its cofaces), so the sublevel set is **8-connected** and its
+Alexander-dual complement is **4-connected** — the round-1 implementation
+had these swapped (ADVICE r1, fixed).
 
 Algorithms (union-find, standard for images):
 
-  * **H0**: process pixels in increasing value; union 4-neighbors; when two
+  * **H0**: process pixels in increasing value; union 8-neighbors; when two
     components merge, the younger (larger birth) dies → bar
     (birth_pixel, merge_pixel). One essential component (global min).
   * **H1** by Alexander duality: a sublevel hole is a bounded component of
     the superlevel complement. Run the same union-find on the NEGATED image
-    with 8-connectivity plus a virtual "outside" node (elder than
+    with 4-connectivity plus a virtual "outside" node (elder than
     everything, connected to all border pixels). Each finite superlevel bar
     (born at enclosed-region max q, merged at saddle p) is the H1 bar
     (value(p), value(q)) with gradient locations (p, q). The essential
@@ -123,11 +128,13 @@ def cubical_pairs(values: np.ndarray):
       h1: (k1, 2) int64 array of (birth_idx, death_idx) H1 bars
     """
     values = np.asarray(values, np.float64)
+    # T-construction: 8-connected sublevel, 4-connected dual (see module
+    # docstring; matches gudhi top_dimensional_cells semantics).
     h0_bars, essential = _sublevel_h0(
-        values, eight_connect=False, outside_node=False
+        values, eight_connect=True, outside_node=False
     )
     neg_bars, _ = _sublevel_h0(
-        -values, eight_connect=True, outside_node=True
+        -values, eight_connect=False, outside_node=True
     )
     # superlevel bar (q=max born, p=saddle merge) → H1 bar (p, q)
     h1_bars = [(p, q) for (q, p) in neg_bars]
@@ -146,16 +153,11 @@ def diagram_from_pairs(values: np.ndarray, pairs: np.ndarray) -> np.ndarray:
     return np.stack([flat[pairs[:, 0]], flat[pairs[:, 1]]], axis=1)
 
 
-def wasserstein_match(d1: np.ndarray, d2: np.ndarray, q: float = 2.0):
-    """Optimal partial matching between two persistence diagrams.
+def _wasserstein_match_dense(d1: np.ndarray, d2: np.ndarray, q: float = 2.0):
+    """Brute-force exact matching on the full (n1+n2)² augmented matrix.
 
-    Ground metric L∞; unmatched points pay the distance to their diagonal
-    projection ((d-b)/2). Solved exactly via the Hungarian algorithm on the
-    standard (n1+n2)x(n1+n2) augmented cost matrix.
-
-    Returns (matches, unmatched1, unmatched2): matches is (m, 2) index
-    pairs into d1/d2; unmatched* are index arrays paired to the diagonal.
-    """
+    O((n1+n2)³) — kept as the validation oracle for the reduced solver
+    below (tests cross-check them on random diagrams)."""
     from scipy.optimize import linear_sum_assignment
 
     n1, n2 = len(d1), len(d2)
@@ -186,6 +188,74 @@ def wasserstein_match(d1: np.ndarray, d2: np.ndarray, q: float = 2.0):
             un1.append(r)
         elif c < n2:
             un2.append(c)
+    return (np.asarray(matches, np.int64).reshape(-1, 2),
+            np.asarray(un1, np.int64), np.asarray(un2, np.int64))
+
+
+def wasserstein_match(d1: np.ndarray, d2: np.ndarray, q: float = 2.0):
+    """Optimal partial matching between two persistence diagrams.
+
+    Ground metric L∞; unmatched points pay the distance to their diagonal
+    projection ((d-b)/2). Exact, via a REDUCED rectangular assignment:
+    every bar of the larger diagram pays its diagonal cost by default, and
+    matching it to a bar of the smaller diagram swaps that for the pair
+    cost — so only ``min(n1,n2)`` rows need assigning, against
+    ``max(n1,n2) + min(n1,n2)`` columns (bars ∪ own-diagonal slots). This
+    makes noisy-image diagrams (hundreds of bars, tests measured ~460 H1
+    bars on 50² sigmoid noise) vs tiny ground-truth diagrams cost
+    O(min² · max) instead of O((n1+n2)³). Verified equivalent to the dense
+    Hungarian oracle in tests/test_topology.py.
+
+    Returns (matches, unmatched1, unmatched2): matches is (m, 2) index
+    pairs into d1/d2; unmatched* are index arrays paired to the diagonal.
+    """
+    from scipy.optimize import linear_sum_assignment
+
+    n1, n2 = len(d1), len(d2)
+    if n1 == 0 and n2 == 0:
+        return (np.zeros((0, 2), np.int64), np.zeros(0, np.int64),
+                np.zeros(0, np.int64))
+
+    swapped = n1 < n2
+    small, big = (d1, d2) if swapped else (d2, d1)
+    ns, nb = len(small), len(big)
+
+    if ns == 0:
+        m = np.zeros((0, 2), np.int64)
+        un_small = np.zeros(0, np.int64)
+        un_big = np.arange(nb, dtype=np.int64)
+    else:
+        diag_b = (np.abs(big[:, 1] - big[:, 0]) / 2.0) ** q  # (nb,)
+        diag_s = (np.abs(small[:, 1] - small[:, 0]) / 2.0) ** q
+        pair = np.maximum(
+            np.abs(small[:, None, 0] - big[None, :, 0]),
+            np.abs(small[:, None, 1] - big[None, :, 1]),
+        ) ** q  # (ns, nb)
+        # net benefit of matching small j to big i vs both to diagonal
+        net = pair - diag_b[None, :]
+        cost = np.concatenate(
+            [net, np.full((ns, ns), np.inf)], axis=1
+        )
+        cost[np.arange(ns), nb + np.arange(ns)] = diag_s
+        rows, cols = linear_sum_assignment(cost)
+        matched_small = []
+        matched_big = []
+        for r, c in zip(rows, cols):
+            if c < nb:
+                matched_small.append(r)
+                matched_big.append(c)
+        matched_small = np.asarray(matched_small, np.int64)
+        matched_big = np.asarray(matched_big, np.int64)
+        un_small = np.setdiff1d(np.arange(ns, dtype=np.int64), matched_small)
+        un_big = np.setdiff1d(np.arange(nb, dtype=np.int64), matched_big)
+        m = np.stack([matched_small, matched_big], axis=1)
+
+    if swapped:  # small == d1, big == d2
+        matches = m
+        un1, un2 = un_small, un_big
+    else:        # small == d2, big == d1
+        matches = m[:, ::-1] if len(m) else np.zeros((0, 2), np.int64)
+        un1, un2 = un_big, un_small
     return (np.asarray(matches, np.int64).reshape(-1, 2),
             np.asarray(un1, np.int64), np.asarray(un2, np.int64))
 

@@ -1,10 +1,11 @@
 // Batched cubical persistent homology of 2D images — C++ production path.
 //
 // Same algorithm as dilabhelmholtzoct_tpu/ops/topology_ref.py (the tested
-// reference): sublevel union-find for H0 (4-connectivity) and, by Alexander
-// duality, H1 as superlevel union-find (8-connectivity) with a virtual
-// outside node attached to border pixels. Validated bar-for-bar against the
-// Python reference in tests/test_topology_native.py.
+// reference): T-construction sublevel union-find for H0 (8-connectivity,
+// gudhi top_dimensional_cells semantics) and, by Alexander duality, H1 as
+// superlevel union-find (4-connectivity) with a virtual outside node
+// attached to border pixels. Validated bar-for-bar against the Python
+// reference in tests/test_topology_native.py.
 //
 // This is the host-side hot path of the topological loss (reference:
 // octsam/models/topological_loss.py runs gudhi per sample inside the torch
@@ -128,9 +129,10 @@ void cubical_pairs_batch(const float* grids, int n_grids, int h, int w,
     for (int i = 0; i < n; ++i) neg[i] = -flat[i];
 
     std::vector<std::pair<int32_t, int32_t>> bars0, bars1raw;
-    h0_essential[g] = sublevel_h0(flat, h, w, /*eight=*/false,
+    h0_essential[g] = sublevel_h0(flat, h, w, /*eight=*/true,
                                   /*outside=*/false, bars0);
-    sublevel_h0(neg.data(), h, w, /*eight=*/true, /*outside=*/true, bars1raw);
+    sublevel_h0(neg.data(), h, w, /*eight=*/false, /*outside=*/true,
+                bars1raw);
 
     // superlevel bar (q_max_birth, p_saddle_death) → H1 bar (p, q)
     std::vector<std::pair<int32_t, int32_t>> bars1;
