@@ -243,13 +243,27 @@ def make_train_step(
 
     train_encoder = config.trainable == "all"
 
+    def cast_tree(tree):
+        """Mixed precision: master params stay f32 (optimizer math); all
+        forward compute runs in ``compute_dtype``. The cast sits inside the
+        grad closure, so gradients arrive back in f32. Round-1 bug: only
+        pixel_values were cast — the f32 biases promoted every activation
+        back to f32 and the 'bf16' benchmark actually measured f32."""
+        if dtype == jnp.float32:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x,
+            tree,
+        )
+
     def get_embeddings(decoder_params, frozen_params, batch):
         if from_embeddings:
             return batch["embeddings"].astype(dtype)
         pix, _ = preprocess_image(
             batch["image"], target_size=cfg.vision.image_size, dtype=dtype
         )
-        params_f = _merge_params(decoder_params, frozen_params)
+        params_f = cast_tree(_merge_params(decoder_params, frozen_params))
         if train_encoder:
             # gradient flows through the encoder: remat each layer and use
             # the XLA attention path (flash kernel is forward-only)
@@ -271,8 +285,8 @@ def make_train_step(
             # trainable='all': the encoder must run INSIDE the grad closure
             embeddings = get_embeddings(decoder_params, frozen_params, batch)
         masks = _forward_from_embeddings(
-            decoder_params, frozen_params, cfg, embeddings, batch, orig_hw,
-            config.prompt_type,
+            cast_tree(decoder_params), cast_tree(frozen_params), cfg,
+            embeddings, batch, orig_hw, config.prompt_type,
         )
         return _loss_from_masks(masks, batch, config, pairing)
 

@@ -290,3 +290,20 @@ def test_cli_wandb_flags_reach_config(tmp_path):
     assert cfg.entity == "e1"
     assert cfg.use_wandb is True
     assert cfg.wandb_dir == os.path.join(str(tmp_path), "runs")
+
+
+def test_training_loss_decreases_bf16(tmp_path, dataset_dir):
+    """Mixed precision (f32 master params, bf16 compute) still converges —
+    guards the cast_tree path (round-1 bug: 'bf16' steps silently ran f32
+    because uncast f32 biases promoted every activation)."""
+    cfg = _base_config(
+        tmp_path, dataset_dir, learning_rate=1e-2,
+        compute_dtype="bfloat16", epochs=3,
+    )
+    result = training(cfg)
+    hist = result["history"]
+    assert hist[-1]["train_loss"] < hist[0]["train_loss"]
+    # master params stay f32 for the optimizer
+    import jax
+    leaf = jax.tree_util.tree_leaves(result["params"]["decoder"])[0]
+    assert leaf.dtype == np.float32
