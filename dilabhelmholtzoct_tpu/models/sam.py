@@ -253,8 +253,12 @@ def vision_layer(x, p, cfg: VisionConfig, window_size: int):
         x = window_unpartition(x, window_size, padded_hw, hw)
     x = shortcut + x
     y = layer_norm(x, p["ln2"], cfg.layer_norm_eps)
+    # Flat 2-D token matmuls: XLA tiles (B·H·W, C) dots onto the MXU better
+    # than the 4-D 1x1-convolution form (in-context xplane A/B).
+    b_, h_, w_, c_ = y.shape
+    y = y.reshape(b_ * h_ * w_, c_)
     y = linear(gelu(linear(y, p["mlp1"])), p["mlp2"])
-    return x + y
+    return x + y.reshape(b_, h_, w_, c_)
 
 
 def encode_image(params, pixel_values, cfg: SamConfig, *, remat: bool = False):

@@ -179,11 +179,21 @@ def _packed_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref,
     k block costs ONE score dot and ONE pv dot; the pv accumulator carries
     garbage in the other head's lanes, discarded by the final lane-select.
     """
-    tq = q_ref.shape[1]
-    tk = k_ref.shape[1]
+    tq = q_ref.shape[-2]
+    tk = k_ref.shape[-2]
     h_dim = rh_ref.shape[3]
     rows_per_blk = tk // w
     j = pl.program_id(3)
+
+    def qkv_block(ref):
+        return ref[0]  # (T, 128)
+
+    # NOTE (negative result, round 2): feeding the kernel pair-contiguous
+    # (B, 3P, N, 128) inputs via one XLA transpose left the kernel time
+    # IDENTICAL (8.32 vs 8.34 ms/global layer) and cost +13 ms for the
+    # producer transpose — the strided 128-lane HBM fetches are fully
+    # hidden behind compute. The kernel is VPU-bound (exp + f32 score
+    # traffic); don't revisit input layouts.
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (tq, 128), 1)
     is_a = lane < 64
@@ -207,7 +217,7 @@ def _packed_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref,
         one MXU dot replace (qk dot + rh one-hot dot + two VPU adds over
         the (TQ, TK) f32 scores).
         """
-        q = q_ref[0]  # (TQ, 128) = heads (2g, 2g+1) side by side
+        q = qkv_block(q_ref)  # (TQ, 128) = heads (2g, 2g+1) side by side
         zeros = jnp.zeros_like(q)
         sc = jnp.asarray(scale, q.dtype)
         q_a = jnp.where(is_a, q * sc, zeros)
@@ -251,7 +261,7 @@ def _packed_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref,
     hh_idx = jax.lax.broadcasted_iota(jnp.int32, (tk, h_dim), 1)
     sel_h = (hh_idx == j * rows_per_blk + th_idx // w).astype(q_cat.dtype)
 
-    k_cat = jnp.concatenate([k_ref[0], sel_h, sel_w], axis=1)
+    k_cat = jnp.concatenate([qkv_block(k_ref), sel_h, sel_w], axis=1)
     s = jax.lax.dot_general(
         q_cat, k_cat, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -259,7 +269,7 @@ def _packed_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref,
 
     def pv(p):
         return jax.lax.dot_general(
-            p.astype(k_ref.dtype), v_ref[0],
+            p.astype(k_ref.dtype), qkv_block(v_ref),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )

@@ -51,20 +51,21 @@ def collect_xplane(logdir: str, runs: int):
     return dict(totals)
 
 
-_GROUPS = [
-    ("flash/pallas", r"flash|pallas|custom-call"),
-    ("conv/matmul", r"convolution|dot|fusion.*gemm"),
-    ("copy/transpose", r"copy|transpose|bitcast"),
-    ("reduce/norm", r"reduce"),
-    ("elementwise/fusion", r"fusion"),
-]
-
-
 def group_of(name: str) -> str:
-    low = name.lower()
-    for g, pat in _GROUPS:
-        if re.search(pat, low):
-            return g
+    """Classify by the op's own name + HLO opcode, NOT operand names."""
+    head = name.split(" = ")[0].lstrip("%").lower()
+    m = re.search(r"=\s+\S+\s+([\w-]+)\(", name)
+    opcode = m.group(1).lower() if m else ""
+    if "flash" in head or opcode == "custom-call":
+        return "flash/pallas"
+    if opcode in ("copy", "transpose", "copy-done", "copy-start"):
+        return "copy/transpose"
+    if opcode == "convolution" or "convolution" in head or "gemm" in head:
+        return "conv/matmul"
+    if "reduce" in head:
+        return "reduce/norm"
+    if opcode == "fusion":
+        return "elementwise/fusion"
     return "other"
 
 
