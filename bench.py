@@ -160,6 +160,68 @@ def main():
         file=sys.stderr,
     )
 
+    # point-prompt + Bone pseudocolor step (BASELINE.md config 3): LUT on
+    # host (the pipeline applies it in __getitem__, data/pipeline.py:63),
+    # point prompts at component centers
+    from dilabhelmholtzoct_tpu.ops.preprocess import colormap_lut
+
+    lut = colormap_lut("Bone")  # (256, 3) uint8
+    gray = np.asarray(batch["image"])[:, :, :, 0]
+    bone_images = jnp.asarray(lut[gray], jnp.uint8)
+    centers = prompts[:, :, :2] + (prompts[:, :, 2:] - prompts[:, :, :2]) / 2
+    pts_batch = {
+        "image": bone_images,
+        "prompts": jnp.asarray(centers[:, :, None, :], jnp.float32),
+        "point_labels": jnp.ones((BATCH, N_PROMPTS, 1), jnp.int32),
+        "comp_map": batch["comp_map"],
+        "channel_mask": batch["channel_mask"],
+    }
+    pts_cfg = TrainConfig(
+        compute_dtype="bfloat16", cache_embeddings=False, batch_size=BATCH,
+        encoder_microbatch=BATCH, prompt_type="points",
+    )
+    bench_step(pts_cfg, pts_batch, "point-prompt + Bone step (config 3)")
+
+    # full fine-tune incl. encoder (BASELINE.md config 5): the packed flash
+    # kernel's custom-VJP backward + per-layer remat
+    def bench_full_finetune(model_cfg, tag, bs):
+        from dilabhelmholtzoct_tpu.models.sam import init_params as init_p
+
+        p_all = init_p(jax.random.PRNGKey(0), model_cfg)
+        ft_cfg = TrainConfig(
+            compute_dtype="bfloat16", cache_embeddings=False, batch_size=bs,
+            trainable="all",
+        )
+        dec, froz = _split_params(p_all, trainable="all")
+        optf = make_optimizer(ft_cfg)
+        opt_s = optf.init(dec)
+        small = {k: (v[:bs] if hasattr(v, "shape") else v)
+                 for k, v in batch.items()}
+        stepf = make_train_step(cfg, ft_cfg, optf, orig_hw,
+                                from_embeddings=False) \
+            if model_cfg is cfg else make_train_step(
+                model_cfg, ft_cfg, optf, orig_hw, from_embeddings=False)
+        t0 = time.time()
+        dec, opt_s, loss = stepf(dec, opt_s, froz, small)
+        jax.block_until_ready((dec, opt_s, loss))
+        compile_s = time.time() - t0
+        t0 = time.time()
+        for _ in range(5):
+            dec, opt_s, loss = stepf(dec, opt_s, froz, small)
+        jax.block_until_ready((dec, opt_s, loss))
+        dt = (time.time() - t0) / 5
+        print(
+            f"[bench] {tag}: {dt * 1e3:.1f} ms/step ({bs / dt:.2f} img/s, "
+            f"compile {compile_s:.1f}s)",
+            file=sys.stderr,
+        )
+
+    from dilabhelmholtzoct_tpu.models.configs import sam_vit_large
+
+    bench_full_finetune(cfg, "FULL fine-tune ViT-B (config 5)", 4)
+    bench_full_finetune(sam_vit_large(),
+                        "FULL fine-tune ViT-L (config 5)", 2)
+
     # interactive serving path (BASELINE.md configs 1 & 5): encoder once per
     # image, decoder per prompt — the engine's cache pattern
     from dilabhelmholtzoct_tpu.inference.engine import SegmentationEngine

@@ -157,8 +157,10 @@ def vision_attention(x, p, cfg: VisionConfig):
         # Transpose-free path: the packed kernel reads the fused qkv
         # projection and writes token-order output directly — the
         # (B, heads, N, d) layout copies below cost 26% of encoder device
-        # time in round 1 (docs/ROADMAP.md).
-        from ..ops.attention import flash_attention_packed
+        # time in round 1 (docs/ROADMAP.md). Differentiable via custom VJP
+        # (flash-style blockwise backward), so trainable='all' encoder
+        # fine-tuning stays on this path too.
+        from ..ops.attention import packed_attention_vjp
 
         rh = rel_pos_table(p["rel_pos_h"], h, h)  # (H, H, d)
         rw = rel_pos_table(p["rel_pos_w"], w, w)
@@ -169,10 +171,11 @@ def vision_attention(x, p, cfg: VisionConfig):
         rel_w = jnp.einsum(
             "bxyhc,ykc->bhxyk", q_nat, rw.astype(x.dtype)
         ).reshape(b, n_heads, h * w, w)
-        out = flash_attention_packed(
-            qkv_flat, rel_h, rel_w, hw=(h, w), num_heads=n_heads,
+        attn_fn = packed_attention_vjp(
+            hw=(h, w), num_heads=n_heads,
             interpret=(_FLASH_MODE == "interpret"),
         )
+        out = attn_fn(qkv_flat, rel_h, rel_w)
         return linear(out.reshape(b, h, w, c), p["proj"])
 
     qkv = qkv_flat.reshape(b, h * w, 3, n_heads, head_dim)  # free reshape

@@ -157,9 +157,9 @@ def flash_attention_relpos(
     )(q, k, v, rel_h, rel_w)
 
 
-def _packed_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref,
-                   m_ref, l_ref, acc_ref, qcat_ref,
-                   *, w: int, scale: float, n_kblocks: int):
+def _packed_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, *refs,
+                   w: int, scale: float, n_kblocks: int,
+                   return_lse: bool = False):
     """One (b, head-pair, q-block, k-block) program over NATURAL-layout qkv.
 
     Two d=64 heads are packed side-by-side into one 128-lane block (the
@@ -179,6 +179,11 @@ def _packed_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref,
     k block costs ONE score dot and ONE pv dot; the pv accumulator carries
     garbage in the other head's lanes, discarded by the final lane-select.
     """
+    if return_lse:
+        o_ref, lse_ref, m_ref, l_ref, acc_ref, qcat_ref = refs
+    else:
+        o_ref, m_ref, l_ref, acc_ref, qcat_ref = refs
+        lse_ref = None
     tq = q_ref.shape[-2]
     tk = k_ref.shape[-2]
     h_dim = rh_ref.shape[3]
@@ -280,11 +285,20 @@ def _packed_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref,
             is_a, out[:tq], out[tq_pad:tq_pad + tq]
         ).astype(o_ref.dtype)
 
+    def write_lse(m, l):
+        # logsumexp per row, packed (TQ, 2): lane 0 head a, lane 1 head b
+        lse = m + jnp.log(l)  # (2·TQ_pad, 1) f32
+        lse_ref[0, 0] = jnp.concatenate(
+            [lse[:tq], lse[tq_pad:tq_pad + tq]], axis=1
+        )
+
     if n_kblocks == 1:
         m = jnp.max(s, axis=1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=1, keepdims=True)
         o_ref[0] = select_out(pv(p) / l)
+        if return_lse:
+            write_lse(m, l)
     else:
         m = m_ref[...]
         m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
@@ -297,14 +311,32 @@ def _packed_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref,
         @pl.when(j == n_kblocks - 1)
         def _finish():
             o_ref[0] = select_out(acc_ref[...] / l_ref[...])
+            if return_lse:
+                write_lse(m_ref[...], l_ref[...])
+
+
+def _dim_semantics():
+    try:
+        return pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        )
+    except AttributeError:  # older pallas API name
+        return pltpu.TPUCompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("hw", "num_heads", "tq", "tk", "interpret")
+    jax.jit,
+    static_argnames=("hw", "num_heads", "tq", "tk", "interpret",
+                     "return_lse"),
 )
 def flash_attention_packed(qkv, rel_h, rel_w, *, hw, num_heads: int,
                            tq: int = 512, tk: int = 1024,
-                           interpret: bool = False):
+                           interpret: bool = False,
+                           return_lse: bool = False):
     """Transpose-free streaming attention over the fused qkv projection.
 
     qkv:   (B, N, 3C) — the qkv linear's raw output, untouched. Feature
@@ -335,17 +367,20 @@ def flash_attention_packed(qkv, rel_h, rel_w, *, hw, num_heads: int,
 
     grid = (b, pairs, n // tq, n_kblocks)
     kernel = functools.partial(_packed_kernel, w=w, scale=scale,
-                               n_kblocks=n_kblocks)
-    try:
-        compiler_params = pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel",
-                                 "arbitrary"),
-        )
-    except AttributeError:  # older pallas API name
-        compiler_params = pltpu.TPUCompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel",
-                                 "arbitrary"),
-        )
+                               n_kblocks=n_kblocks, return_lse=return_lse)
+    out_specs = pl.BlockSpec((1, tq, 128), lambda bb, g, i, j: (bb, i, g),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((b, n, c), qkv.dtype)
+    if return_lse:
+        out_specs = [
+            out_specs,
+            pl.BlockSpec((1, 1, tq, 2), lambda bb, g, i, j: (bb, g, i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            out_shape,
+            jax.ShapeDtypeStruct((b, pairs, n, 2), jnp.float32),
+        ]
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -363,16 +398,15 @@ def flash_attention_packed(qkv, rel_h, rel_w, *, hw, num_heads: int,
             pl.BlockSpec((1, 2, tq, w), lambda bb, g, i, j: (bb, g, i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tq, 128), lambda bb, g, i, j: (bb, i, g),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n, c), qkv.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((2 * tq_pad, 1), jnp.float32),    # running max
             pltpu.VMEM((2 * tq_pad, 1), jnp.float32),    # running denom
             pltpu.VMEM((2 * tq_pad, 128), jnp.float32),  # output accumulator
             pltpu.VMEM((2 * tq_pad, 128 + h + w), qkv.dtype),  # augmented q
         ],
-        compiler_params=compiler_params,
+        compiler_params=_dim_semantics(),
         cost_estimate=pl.CostEstimate(
             # qk + rel-pos one-hot expansion + pv per (q, k) tile pair,
             # for both packed heads
@@ -384,6 +418,362 @@ def flash_attention_packed(qkv, rel_h, rel_w, *, hw, num_heads: int,
         ),
         interpret=interpret,
     )(qkv, qkv, qkv, rel_h, rel_w)
+
+
+# ---------------------------------------------------------------------------
+# Backward pass (custom VJP) — enables trainable='all' encoder fine-tuning
+# without the materialized (N, N) bias (round-1 VERDICT item 7).
+#
+# Standard flash backward with the packed-pair layout tricks reused:
+#   p  = exp(s - L)            (L = logsumexp rows, saved by the forward)
+#   dp = dO · Vᵀ               ds = p ∘ (dp - D),  D = rowsum(dO ∘ O)
+#   dq = scale · ds · K        dk = scale · dsᵀ · Q = dsᵀ · (Q·scale)
+#   dv = pᵀ · dO               drel = dsᵀ-sums through the one-hot selectors
+# Head stacking makes dsᵀ @ q_cat produce BOTH heads' dk in the right lanes
+# (head-a q rows are zero in head-b lanes and vice versa) with no select.
+# ---------------------------------------------------------------------------
+
+
+def _bwd_prep(q_ref, rh_ref, rw_ref, g_ref, lse_ref, dvec_ref,
+              *, w, scale, tq, tq_pad, is_a):
+    """Shared per-(q-block) backward prep: augmented q, masked stacked dO,
+    per-row L and D columns ((2·TQ_pad, 1) f32)."""
+    pad_rows = tq_pad - tq
+    q = q_ref[0]
+    zeros = jnp.zeros_like(q)
+    sc = jnp.asarray(scale, q.dtype)
+    q_a = jnp.where(is_a, q * sc, zeros)
+    q_b = jnp.where(is_a, zeros, q * sc)
+    rh_a, rh_b = rh_ref[0, 0], rh_ref[0, 1]
+    rw_a, rw_b = rw_ref[0, 0], rw_ref[0, 1]
+
+    def head_rows(rows):
+        if pad_rows:
+            rows = jnp.pad(rows, ((0, pad_rows), (0, 0)))
+        return rows
+
+    q_cat = jnp.concatenate([
+        head_rows(jnp.concatenate([q_a, rh_a, rw_a], axis=1)),
+        head_rows(jnp.concatenate([q_b, rh_b, rw_b], axis=1)),
+    ], axis=0)
+
+    g = g_ref[0]
+    g_a = jnp.where(is_a, g, jnp.zeros_like(g))
+    g_b = jnp.where(is_a, jnp.zeros_like(g), g)
+    g_stack = jnp.concatenate([head_rows(g_a), head_rows(g_b)], axis=0)
+
+    def rows_from_lane2(ref, pad_value):
+        blk = ref[0, 0]  # (TQ, 2) f32: lane 0 = head a, lane 1 = head b
+        lane2 = jax.lax.broadcasted_iota(jnp.int32, (tq, 2), 1)
+        col_a = jnp.sum(jnp.where(lane2 == 0, blk, 0.0), axis=1,
+                        keepdims=True)
+        col_b = jnp.sum(jnp.where(lane2 == 1, blk, 0.0), axis=1,
+                        keepdims=True)
+
+        def pad_col(c):
+            if pad_rows:
+                c = jnp.pad(c, ((0, pad_rows), (0, 0)),
+                            constant_values=pad_value)
+            return c
+
+        return jnp.concatenate([pad_col(col_a), pad_col(col_b)], axis=0)
+
+    # padded L rows get +1e30 so p = exp(s - L) = 0 exactly on junk rows
+    lrow = rows_from_lane2(lse_ref, 1e30)
+    drow = rows_from_lane2(dvec_ref, 0.0)
+    return q_cat, g_stack, lrow, drow
+
+
+def _bwd_selectors(tk, w, h_dim, kblock, dtype):
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (tk, w), 0)
+    c_idx = jax.lax.broadcasted_iota(jnp.int32, (tk, w), 1)
+    sel_w = (t_idx % w == c_idx).astype(dtype)
+    th_idx = jax.lax.broadcasted_iota(jnp.int32, (tk, h_dim), 0)
+    hh_idx = jax.lax.broadcasted_iota(jnp.int32, (tk, h_dim), 1)
+    sel_h = (hh_idx == kblock * (tk // w) + th_idx // w).astype(dtype)
+    return sel_h, sel_w
+
+
+def _nt_dot(a, b):
+    """a (M, K) · b (N, K)ᵀ → (M, N), f32 accumulate."""
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _nn_dot(a, b):
+    """a (M, K) · b (K, N) → (M, N), f32 accumulate."""
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _tn_dot(a, b):
+    """aᵀ (K, M) · b (K, N) → (M, N), f32 accumulate."""
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _packed_bwd_dq_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, g_ref,
+                          lse_ref, dvec_ref,
+                          dq_ref, drh_ref, drw_ref,
+                          qcat_ref, gstk_ref, lrow_ref, drow_ref,
+                          dq_acc, drh_acc, drw_acc,
+                          *, w: int, scale: float, n_kblocks: int):
+    """dq + drel_h + drel_w: grid (b, pair, q-block, k-block), k innermost."""
+    tq = q_ref.shape[-2]
+    tk = k_ref.shape[-2]
+    h_dim = rh_ref.shape[3]
+    tq_pad = -(-tq // 8) * 8
+    j = pl.program_id(3)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tq, 128), 1)
+    is_a = lane < 64
+
+    @pl.when(j == 0)
+    def _init():
+        q_cat, g_stack, lrow, drow = _bwd_prep(
+            q_ref, rh_ref, rw_ref, g_ref, lse_ref, dvec_ref,
+            w=w, scale=scale, tq=tq, tq_pad=tq_pad, is_a=is_a)
+        qcat_ref[...] = q_cat
+        gstk_ref[...] = g_stack
+        lrow_ref[...] = lrow
+        drow_ref[...] = drow
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+        drh_acc[...] = jnp.zeros_like(drh_acc)
+        drw_acc[...] = jnp.zeros_like(drw_acc)
+
+    sel_h, sel_w = _bwd_selectors(tk, w, h_dim, j, qcat_ref.dtype)
+    k_blk = k_ref[0]
+    k_cat = jnp.concatenate([k_blk, sel_h, sel_w], axis=1)
+    s = _nt_dot(qcat_ref[...], k_cat)          # (2·TQ_pad, TK)
+    p = jnp.exp(s - lrow_ref[...])
+    dp = _nt_dot(gstk_ref[...], v_ref[0])       # (2·TQ_pad, TK)
+    ds = (p * (dp - drow_ref[...])).astype(k_blk.dtype)
+    dq_acc[...] += _nn_dot(ds, k_blk)
+    drh_acc[...] += _nn_dot(ds, sel_h)
+    drw_acc[...] += _nn_dot(ds, sel_w)
+
+    @pl.when(j == n_kblocks - 1)
+    def _finish():
+        acc = dq_acc[...]
+        dq = jnp.where(is_a, acc[:tq], acc[tq_pad:tq_pad + tq])
+        dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
+        drh_ref[0, 0] = drh_acc[:tq].astype(drh_ref.dtype)
+        drh_ref[0, 1] = drh_acc[tq_pad:tq_pad + tq].astype(drh_ref.dtype)
+        drw_ref[0, 0] = drw_acc[:tq].astype(drw_ref.dtype)
+        drw_ref[0, 1] = drw_acc[tq_pad:tq_pad + tq].astype(drw_ref.dtype)
+
+
+def _packed_bwd_dkv_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, g_ref,
+                           lse_ref, dvec_ref,
+                           dk_ref, dv_ref,
+                           dk_acc, dv_acc,
+                           *, w: int, scale: float, n_qblocks: int):
+    """dk + dv: grid (b, pair, k-block, q-block), q innermost.
+
+    dk arrives via ONE dot dsᵀ @ q_cat — head-a q rows are zero in head-b
+    lanes (and vice versa), so both heads land in their own lanes of the
+    first 128 columns; the rel-selector columns are sliced off (the slice
+    offset 0 / length 128 is Mosaic-aligned).
+    """
+    tq = q_ref.shape[-2]
+    tk = k_ref.shape[-2]
+    h_dim = rh_ref.shape[3]
+    tq_pad = -(-tq // 8) * 8
+    jq = pl.program_id(3)
+    jk = pl.program_id(2)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tq, 128), 1)
+    is_a = lane < 64
+
+    @pl.when(jq == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    q_cat, g_stack, lrow, drow = _bwd_prep(
+        q_ref, rh_ref, rw_ref, g_ref, lse_ref, dvec_ref,
+        w=w, scale=scale, tq=tq, tq_pad=tq_pad, is_a=is_a)
+    sel_h, sel_w = _bwd_selectors(tk, w, h_dim, jk, q_cat.dtype)
+    k_blk = k_ref[0]
+    k_cat = jnp.concatenate([k_blk, sel_h, sel_w], axis=1)
+    s = _nt_dot(q_cat, k_cat)
+    p = jnp.exp(s - lrow).astype(k_blk.dtype)   # (2·TQ_pad, TK)
+    dp = _nt_dot(g_stack, v_ref[0])
+    ds = (p.astype(jnp.float32) * (dp - drow)).astype(k_blk.dtype)
+    dv_acc[...] += _tn_dot(p, g_stack)           # (TK, 128)
+    dk_acc[...] += _tn_dot(ds, q_cat)            # (TK, 128 + H + W)
+
+    @pl.when(jq == n_qblocks - 1)
+    def _finish():
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+        # q_cat lanes 0:128 hold q·scale, so this is already scale·dsᵀ·q
+        dk_ref[0] = dk_acc[:, :128].astype(dk_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("hw", "num_heads", "tq", "tk", "interpret")
+)
+def _flash_packed_bwd(qkv, rel_h, rel_w, g_out, lse, dvec, *, hw,
+                      num_heads: int, tq: int = 512, tk: int = 1024,
+                      interpret: bool = False):
+    """Backward wrappers: returns (dqkv, drel_h, drel_w).
+
+    The backward holds THREE (2·TQ_pad, TK) f32 intermediates (s, p, dp)
+    live at once, so its k tile is capped at 512 regardless of the
+    forward's — tk=1024 blew the 16 MB VMEM budget by ~0.8 MB."""
+    tk = min(tk, 512)
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    pairs = num_heads // 2
+    h, w = hw
+    tq = min(tq, n)
+    tk = min(tk, n)
+    assert n % tq == 0 and n % tk == 0 and tk % w == 0, (n, tq, tk, w)
+    scale = 64 ** -0.5
+    tq_pad = -(-tq // 8) * 8
+    n_kblocks = n // tk
+    n_qblocks = n // tq
+
+    in_specs = [
+        pl.BlockSpec((1, tq, 128), lambda bb, g, i, j: (bb, i, g),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tk, 128), lambda bb, g, i, j: (bb, j, pairs + g),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tk, 128),
+                     lambda bb, g, i, j: (bb, j, 2 * pairs + g),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 2, tq, h), lambda bb, g, i, j: (bb, g, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 2, tq, w), lambda bb, g, i, j: (bb, g, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tq, 128), lambda bb, g, i, j: (bb, i, g),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, tq, 2), lambda bb, g, i, j: (bb, g, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, tq, 2), lambda bb, g, i, j: (bb, g, i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+
+    dq, drh, drw = pl.pallas_call(
+        functools.partial(_packed_bwd_dq_kernel, w=w, scale=scale,
+                          n_kblocks=n_kblocks),
+        grid=(b, pairs, n_qblocks, n_kblocks),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, tq, 128), lambda bb, g, i, j: (bb, i, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, tq, h), lambda bb, g, i, j: (bb, g, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, tq, w), lambda bb, g, i, j: (bb, g, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, c), qkv.dtype),
+            jax.ShapeDtypeStruct((b, num_heads, n, h), rel_h.dtype),
+            jax.ShapeDtypeStruct((b, num_heads, n, w), rel_w.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2 * tq_pad, 128 + h + w), qkv.dtype),   # q_cat
+            pltpu.VMEM((2 * tq_pad, 128), qkv.dtype),           # dO stack
+            pltpu.VMEM((2 * tq_pad, 1), jnp.float32),           # L rows
+            pltpu.VMEM((2 * tq_pad, 1), jnp.float32),           # D rows
+            pltpu.VMEM((2 * tq_pad, 128), jnp.float32),         # dq acc
+            pltpu.VMEM((2 * tq_pad, h), jnp.float32),           # drh acc
+            pltpu.VMEM((2 * tq_pad, w), jnp.float32),           # drw acc
+        ],
+        compiler_params=_dim_semantics(),
+        interpret=interpret,
+    )(qkv, qkv, qkv, rel_h, rel_w, g_out, lse, dvec)
+
+    # dk/dv: same inputs, k-block outer / q-block inner.
+    dkv_in_specs = [
+        pl.BlockSpec((1, tq, 128), lambda bb, g, j, i: (bb, i, g),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tk, 128), lambda bb, g, j, i: (bb, j, pairs + g),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tk, 128),
+                     lambda bb, g, j, i: (bb, j, 2 * pairs + g),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 2, tq, h), lambda bb, g, j, i: (bb, g, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 2, tq, w), lambda bb, g, j, i: (bb, g, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tq, 128), lambda bb, g, j, i: (bb, i, g),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, tq, 2), lambda bb, g, j, i: (bb, g, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, tq, 2), lambda bb, g, j, i: (bb, g, i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    dk, dv = pl.pallas_call(
+        functools.partial(_packed_bwd_dkv_kernel, w=w, scale=scale,
+                          n_qblocks=n_qblocks),
+        grid=(b, pairs, n_kblocks, n_qblocks),
+        in_specs=dkv_in_specs,
+        out_specs=[
+            pl.BlockSpec((1, tk, 128), lambda bb, g, j, i: (bb, j, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk, 128), lambda bb, g, j, i: (bb, j, g),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, c), qkv.dtype),
+            jax.ShapeDtypeStruct((b, n, c), qkv.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tk, 128 + h + w), jnp.float32),  # dk acc
+            pltpu.VMEM((tk, 128), jnp.float32),          # dv acc
+        ],
+        compiler_params=_dim_semantics(),
+        interpret=interpret,
+    )(qkv, qkv, qkv, rel_h, rel_w, g_out, lse, dvec)
+
+    dqkv = jnp.concatenate([dq, dk, dv], axis=-1)
+    return dqkv, drh, drw
+
+
+_PACKED_VJP_CACHE: dict = {}
+
+
+def packed_attention_vjp(*, hw, num_heads: int, tq: int = 512,
+                         tk: int = 1024, interpret: bool = False):
+    """Differentiable packed flash attention (custom VJP), cached per
+    static config. Forward emits logsumexp rows; backward recomputes
+    scores blockwise (flash-style, O(N·d) memory)."""
+    key = (hw, num_heads, tq, tk, interpret)
+    if key in _PACKED_VJP_CACHE:
+        return _PACKED_VJP_CACHE[key]
+
+    kw = dict(hw=hw, num_heads=num_heads, tq=tq, tk=tk, interpret=interpret)
+    pairs = num_heads // 2
+
+    @jax.custom_vjp
+    def f(qkv, rel_h, rel_w):
+        return flash_attention_packed(qkv, rel_h, rel_w, **kw)
+
+    def f_fwd(qkv, rel_h, rel_w):
+        out, lse = flash_attention_packed(
+            qkv, rel_h, rel_w, return_lse=True, **kw)
+        return out, (qkv, rel_h, rel_w, out, lse)
+
+    def f_bwd(res, g_out):
+        qkv, rel_h, rel_w, out, lse = res
+        b, n, _ = qkv.shape
+        # D = rowsum(dO ∘ O) per head, packed like lse: (B, pairs, N, 2)
+        d_tok = (g_out.astype(jnp.float32) * out.astype(jnp.float32))
+        d_tok = d_tok.reshape(b, n, num_heads, 64).sum(-1)  # (B, N, heads)
+        dvec = d_tok.reshape(b, n, pairs, 2).transpose(0, 2, 1, 3)
+        dqkv, drh, drw = _flash_packed_bwd(
+            qkv, rel_h, rel_w, g_out.astype(qkv.dtype), lse, dvec, **kw)
+        return dqkv, drh.astype(rel_h.dtype), drw.astype(rel_w.dtype)
+
+    f.defvjp(f_fwd, f_bwd)
+    _PACKED_VJP_CACHE[key] = f
+    return f
 
 
 def attention_reference(q, k, v, rel_h, rel_w, *, hw):

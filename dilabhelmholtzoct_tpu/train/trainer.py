@@ -265,17 +265,10 @@ def make_train_step(
         )
         params_f = cast_tree(_merge_params(decoder_params, frozen_params))
         if train_encoder:
-            # gradient flows through the encoder: remat each layer and use
-            # the XLA attention path (flash kernel is forward-only)
-            from ..models import sam as sam_mod
-
-            prev = sam_mod._FLASH_MODE
-            sam_mod.set_flash_attention("off")
-            try:
-                emb = encode_image(params_f, pix, cfg, remat=True)
-            finally:
-                sam_mod.set_flash_attention(prev)
-            return emb
+            # gradient flows through the encoder: remat each layer; the
+            # packed flash kernel is differentiable (custom VJP with
+            # blockwise recompute), so memory stays O(N·d) per layer
+            return encode_image(params_f, pix, cfg, remat=True)
         return jax.lax.stop_gradient(
             encode_image_microbatched(params_f, pix, cfg,
                                       config.encoder_microbatch))

@@ -151,3 +151,93 @@ def test_encoder_packed_path_matches_xla(rng):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), atol=5e-5, rtol=1e-4
     )
+
+
+@pytest.mark.parametrize("nh,tq,tk", [(2, 16, 16), (4, 32, 8)])
+def test_flash_packed_backward_matches_reference(rng, nh, tq, tk):
+    """Custom-VJP gradients (dqkv, drel_h, drel_w) == autodiff through the
+    materialized-bias reference math."""
+    import jax
+    from dilabhelmholtzoct_tpu.ops.attention import packed_attention_vjp
+
+    d, h, w = 64, 8, 8
+    n, c = h * w, nh * d
+    qkv = rng.normal(size=(b := 2, n, 3 * c)).astype(np.float32)
+    rel_h = (rng.normal(size=(b, nh, n, h)) * 0.3).astype(np.float32)
+    rel_w = (rng.normal(size=(b, nh, n, w)) * 0.3).astype(np.float32)
+    # a fixed random cotangent direction (sum(out * t) exercises all lanes)
+    t = rng.normal(size=(b, n, c)).astype(np.float32)
+
+    f = packed_attention_vjp(hw=(h, w), num_heads=nh, tq=tq, tk=tk,
+                             interpret=True)
+
+    def loss_flash(qkv, rel_h, rel_w):
+        return jnp.sum(f(qkv, rel_h, rel_w) * t)
+
+    def loss_ref(qkv, rel_h, rel_w):
+        split = qkv.reshape(b, n, 3, nh, d)
+        q = split[:, :, 0].transpose(0, 2, 1, 3).reshape(b * nh, n, d)
+        k = split[:, :, 1].transpose(0, 2, 1, 3).reshape(b * nh, n, d)
+        v = split[:, :, 2].transpose(0, 2, 1, 3).reshape(b * nh, n, d)
+        rh = rel_h.reshape(b * nh, n, h)
+        rw = rel_w.reshape(b * nh, n, w)
+        out = attention_reference(q, k, v, rh, rw, hw=(h, w))
+        out = (out.reshape(b, nh, n, d).transpose(0, 2, 1, 3)
+               .reshape(b, n, c))
+        return jnp.sum(out * t)
+
+    args = tuple(map(jnp.asarray, (qkv, rel_h, rel_w)))
+    got = jax.grad(loss_flash, argnums=(0, 1, 2))(*args)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(*args)
+    for g_got, g_want, name in zip(got, want, ("dqkv", "drel_h", "drel_w")):
+        np.testing.assert_allclose(
+            np.asarray(g_got), np.asarray(g_want), atol=5e-4, rtol=1e-3,
+            err_msg=name,
+        )
+
+
+def test_encoder_grad_flash_matches_xla(rng):
+    """Full encoder gradient wrt params: flash (interpret) == XLA path."""
+    import jax
+    from dilabhelmholtzoct_tpu.models.configs import (
+        SamConfig, VisionConfig, PromptConfig, DecoderConfig,
+    )
+    from dilabhelmholtzoct_tpu.models import sam as sam_mod
+
+    cfg = SamConfig(
+        vision=VisionConfig(
+            hidden_size=128, num_layers=2, num_heads=2, image_size=64,
+            patch_size=16, window_size=2, global_attn_indexes=(1,),
+            mlp_dim=128, output_channels=32,
+        ),
+        prompt=PromptConfig(hidden_size=32, image_embedding_size=4,
+                            input_image_size=64),
+        decoder=DecoderConfig(hidden_size=32, num_layers=2, num_heads=4,
+                              mlp_dim=64, iou_head_hidden_dim=32),
+        num_pos_feats=16,
+    )
+    params = sam_mod.init_params(jax.random.PRNGKey(0), cfg)
+    for lp in params["vision"]["layers"]:
+        for key in ("rel_pos_h", "rel_pos_w"):
+            lp["attn"][key] = jnp.asarray(
+                rng.normal(size=lp["attn"][key].shape).astype(np.float32)
+                * 0.2
+            )
+    pix = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+
+    def loss(params, mode):
+        sam_mod.set_flash_attention(mode)
+        try:
+            emb = sam_mod.encode_image(params, pix, cfg)
+        finally:
+            sam_mod.set_flash_attention("auto")
+        return jnp.sum(emb ** 2)
+
+    g_ref = jax.grad(lambda p: loss(p, "off"))(params)
+    g_flash = jax.grad(lambda p: loss(p, "interpret"))(params)
+    flat_ref, _ = jax.tree_util.tree_flatten(g_ref)
+    flat_flash, _ = jax.tree_util.tree_flatten(g_flash)
+    for a, b_ in zip(flat_flash, flat_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=1e-3, rtol=2e-3
+        )
