@@ -54,7 +54,10 @@ def layer_norm(x, p, eps):
 
 
 def linear(x, p):
-    return jnp.dot(x, p["w"], preferred_element_type=x.dtype) + p["b"]
+    # f32 MXU accumulation, cast after the bias add: bf16-accumulate dots
+    # lowered ~30% slower in-context (xplane A/B, round 2)
+    y = jnp.dot(x, p["w"], preferred_element_type=jnp.float32)
+    return (y + p["b"].astype(jnp.float32)).astype(x.dtype)
 
 
 def gelu(x):
@@ -531,7 +534,11 @@ def two_way_transformer(point_emb, image_emb, image_pe, p, cfg: DecoderConfig):
 def _upscale2x(x, w, b):
     """2x2-stride-2 transposed conv as einsum+reshape (windows don't overlap).
 
-    x: (B, H, W, Ci); w: (Ci, 2, 2, Co) → (B, 2H, 2W, Co)."""
+    x: (B, H, W, Ci); w: (Ci, 2, 2, Co) → (B, 2H, 2W, Co).
+    NOTE (negative result, round 2): the lhs-dilated-conv form removed the
+    (B, H, 2, W, 2, Co) interleave copies but its BACKWARD (kernel-flip
+    reverses + gelu-grad fusions on the full 256² grid) cost more than it
+    saved — 55.6 vs 52.5 ms cached-step device time. Keep the einsum."""
     bsz, h, ww, _ = x.shape
     co = w.shape[-1]
     y = jnp.einsum("bhwc,cdeo->bhdweo", x, w.astype(x.dtype))
