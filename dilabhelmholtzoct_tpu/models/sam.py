@@ -61,8 +61,16 @@ def linear(x, p):
 
 
 def gelu(x):
-    """Exact (erf) GELU — matches torch.nn.GELU / HF ACT2FN['gelu']."""
-    return jax.nn.gelu(x, approximate=False)
+    """GELU matching torch.nn.GELU / HF ACT2FN['gelu'].
+
+    f32: exact erf form — bit-comparable to HF for the parity tests.
+    bf16: tanh approximation — |erf−tanh| ≤ 5e-4 absolute, below bf16's
+    ~8e-3 ulp at gelu's output scale, so the results are indistinguishable
+    after the bf16 cast; erf costs +1.0 ms per encoder MLP on v5e (xplane
+    A/B: 1.87 vs 0.81 ms for the mlp1 fusion, i.e. erf more than doubles
+    the fusion over its matmul roofline) for zero representable benefit.
+    """
+    return jax.nn.gelu(x, approximate=(x.dtype == jnp.bfloat16))
 
 
 def _softmax_f32(logits):
