@@ -286,13 +286,20 @@ def encode_image(params, pixel_values, cfg: SamConfig, *, remat: bool = False):
     """
     v = cfg.vision
     p = params["vision"]
-    x = jax.lax.conv_general_dilated(
-        pixel_values,
-        p["patch_embed"]["w"].astype(pixel_values.dtype),
-        window_strides=(v.patch_size, v.patch_size),
-        padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    ) + p["patch_embed"]["b"]
+    # Patch embedding as space-to-depth + matmul. XLA's conv emitter handles
+    # stride-16 3-input-channel convs ~20x off roofline (3.85 ms + a 1.8 ms
+    # input relayout at B=8 on v5e vs 1.7 ms total for this form, xplane A/B);
+    # a non-overlapping patch conv is exactly a reshape-transpose + one dot.
+    ps = v.patch_size
+    bsz, ih, iw, ic = pixel_values.shape
+    gh, gw = ih // ps, iw // ps
+    xp = pixel_values.reshape(bsz, gh, ps, gw, ps, ic)
+    xp = xp.transpose(0, 1, 3, 2, 4, 5).reshape(bsz, gh, gw, ps * ps * ic)
+    w_flat = p["patch_embed"]["w"].astype(pixel_values.dtype).reshape(
+        ps * ps * ic, -1)  # HWIO rows match the (ph, pw, c) token order
+    x = jnp.dot(xp, w_flat,
+                preferred_element_type=jnp.float32).astype(xp.dtype)
+    x = x + p["patch_embed"]["b"]
     if v.use_abs_pos:
         x = x + p["pos_embed"].astype(x.dtype)
     for i in range(v.num_layers):

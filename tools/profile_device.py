@@ -116,15 +116,83 @@ def profile_encoder(batch: int, runs: int, dtype: str):
           f"-> {batch / (total / 1e3):.1f} img/s (encoder only)")
 
 
+def profile_step(batch: int, runs: int, cached: bool):
+    """Cached-embedding (or full) decoder fine-tune train step, bs=batch."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from dilabhelmholtzoct_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    from dilabhelmholtzoct_tpu.models import sam_vit_base, init_params
+    from dilabhelmholtzoct_tpu.train.trainer import (
+        TrainConfig, _split_params, make_optimizer, make_train_step,
+    )
+
+    cfg = sam_vit_base()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    decoder_params, frozen_params = _split_params(params)
+    rng = np.random.default_rng(0)
+    orig_hw = (496, 512)
+    n_prompts = 8
+    comp_map = np.zeros((batch, *orig_hw), np.int32)
+    prompts = np.zeros((batch, n_prompts, 4), np.float32)
+    for b in range(batch):
+        for c in range(n_prompts):
+            y, x = int(rng.integers(10, 400)), int(rng.integers(10, 400))
+            hh, ww = int(rng.integers(30, 80)), int(rng.integers(30, 80))
+            comp_map[b, y:y + hh, x:x + ww] = c + 1
+            prompts[b, c] = (x, y, x + ww, y + hh)
+    data = {
+        "prompts": jnp.asarray(prompts),
+        "comp_map": jnp.asarray(comp_map),
+        "channel_mask": jnp.ones((batch, n_prompts), jnp.float32),
+    }
+    if cached:
+        g = cfg.prompt.image_embedding_size
+        data["embeddings"] = jnp.asarray(
+            rng.normal(size=(batch, g, g, 256)), jnp.bfloat16)
+    else:
+        data["image"] = jnp.asarray(
+            rng.integers(0, 255, (batch, *orig_hw, 3)), jnp.uint8)
+    config = TrainConfig(
+        compute_dtype="bfloat16", cache_embeddings=cached,
+        batch_size=batch, encoder_microbatch=batch,
+    )
+    optimizer = make_optimizer(config)
+    dec = jax.tree_util.tree_map(jnp.copy, decoder_params)
+    opt = optimizer.init(dec)
+    step = make_train_step(cfg, config, optimizer, orig_hw,
+                           from_embeddings=cached)
+    dec, opt, loss = step(dec, opt, frozen_params, data)
+    jax.block_until_ready((dec, opt, loss))
+
+    logdir = tempfile.mkdtemp(prefix="prof_step_")
+    jax.profiler.start_trace(logdir)
+    for _ in range(runs):
+        dec, opt, loss = step(dec, opt, frozen_params, data)
+    jax.block_until_ready((dec, opt, loss))
+    jax.profiler.stop_trace()
+    totals = collect_xplane(logdir, runs)
+    report(totals, top=40)
+    total = sum(totals.values())
+    tag = "cached" if cached else "full"
+    print(f"\n{tag} step B={batch}: {total:.1f} ms device "
+          f"-> {batch / (total / 1e3):.1f} img/s")
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("target", choices=["encoder"])
+    ap.add_argument("target", choices=["encoder", "step", "fullstep"])
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--runs", type=int, default=4)
     ap.add_argument("--dtype", default="bfloat16")
     args = ap.parse_args()
     if args.target == "encoder":
         profile_encoder(args.batch, args.runs, args.dtype)
+    elif args.target == "step":
+        profile_step(args.batch, args.runs, cached=True)
+    else:
+        profile_step(args.batch, args.runs, cached=False)
 
 
 if __name__ == "__main__":
