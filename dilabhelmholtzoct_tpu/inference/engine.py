@@ -27,7 +27,7 @@ from ..models.sam import (
     encode_prompts,
     image_wide_pe,
 )
-from ..ops.postprocess import postprocess_masks
+from ..ops.postprocess import postprocess_masks_blocked
 from ..ops.preprocess import preprocess_image, rescale_boxes, rescale_coords
 
 
@@ -104,9 +104,12 @@ class SegmentationEngine:
                 )
             pe = image_wide_pe(params, cfg)
             low, iou = decode_masks(
-                params, cfg, emb, pe, sparse, dense, multimask_output=False
+                params, cfg, emb, pe, sparse, dense, multimask_output=False,
+                blocked=True,
             )
-            masks = postprocess_masks(low[:, :, 0], orig_hw, model_size=size)
+            masks = postprocess_masks_blocked(
+                low[:, :, 0], orig_hw, model_size=size
+            )
             return jax.nn.sigmoid(masks[0]), iou[0]
 
         self._decode_cache[key] = run

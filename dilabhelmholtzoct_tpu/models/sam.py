@@ -569,8 +569,19 @@ def decode_masks(
     sparse_prompt,  # (B, P, T, C) or None
     dense_prompt,  # (B, G, G, C)
     multimask_output: bool = False,
+    blocked: bool = False,
 ):
-    """Returns (masks (B, P, M, 4G, 4G), iou_pred (B, P, M))."""
+    """Returns (masks (B, P, M, 4G, 4G), iou_pred (B, P, M)).
+
+    blocked=True returns masks as (B, P, M, G, G, 2, 2, 2, 2) — the
+    upscaler's natural two-level block layout, pixel (4h+2d+f, 4w+2e+g) at
+    index [h, w, d, e, f, g]. Row-major regrouping to (h, d, f)(w, e, g)
+    reproduces the natural image exactly; the training path instead feeds
+    it straight to ops/postprocess.postprocess_masks_blocked, which folds
+    the regroup into its resize-operator einsum. This keeps every tensor in
+    the chain in the axis order the MXU dots produce — the natural-order
+    path's interleave reshape after each _upscale2x costs ~6 ms/step of
+    pure layout copies at B=8, P=8 (xplane, docs/ROADMAP.md)."""
     d = cfg.decoder
     p = params["decoder"]
     b, g, _, c = image_embeddings.shape
@@ -601,26 +612,46 @@ def decode_masks(
     iou_token_out = queries[:, 0, :]
     mask_tokens_out = queries[:, 1 : 1 + d.num_mask_tokens, :]
 
-    up = keys.reshape(b * pb, g, g, c)
-    up = _upscale2x(up, p["upscale"]["ct1_w"], p["upscale"]["ct1_b"])
-    up = gelu(layer_norm(up, p["upscale"]["ln"], 1e-6))
-    up = gelu(_upscale2x(up, p["upscale"]["ct2_w"], p["upscale"]["ct2_b"]))
-    # up: (BP, 4G, 4G, C/8)
-
     hp = p["hyper"]
     h = jax.nn.relu(
         jnp.einsum("btc,tcd->btd", mask_tokens_out, hp["w1"]) + hp["b1"]
     )
     h = jax.nn.relu(jnp.einsum("btc,tcd->btd", h, hp["w2"]) + hp["b2"])
     hyper_in = jnp.einsum("btc,tcd->btd", h, hp["w3"]) + hp["b3"]
-    # hyper_in: (BP, M+1, C/8)
+    # hyper_in: (BP, M+1, C/8); slice the requested mask tokens BEFORE the
+    # per-pixel einsum — multimask_output=False touches 1 of 4 tokens, so
+    # the (BP, 4G·4G) mask product and everything downstream shrinks 4x.
+    sl = slice(1, None) if multimask_output else slice(0, 1)
+    hyper_sl = hyper_in[:, sl]
+    n_out = hyper_sl.shape[1]
 
-    g4 = 4 * g
-    masks = jnp.einsum(
-        "btc,bpc->btp", hyper_in, up.reshape(b * pb, g4 * g4, -1),
-        preferred_element_type=jnp.float32,
-    )
-    masks = masks.reshape(b, pb, d.num_mask_tokens, g4, g4)
+    up = keys.reshape(b * pb, g, g, c)
+    if blocked:
+        # Two-level blocked upscale: every step below is the axis order the
+        # MXU dot naturally emits (lhs-free then rhs-free), so XLA inserts
+        # no layout copies anywhere in the chain.
+        w1 = p["upscale"]["ct1_w"].astype(up.dtype)
+        u1 = jnp.einsum("bhwc,cdeo->bhwdeo", up, w1) + p["upscale"]["ct1_b"]
+        u1 = gelu(layer_norm(u1, p["upscale"]["ln"], 1e-6))
+        w2 = p["upscale"]["ct2_w"].astype(up.dtype)
+        u2 = jnp.einsum("bhwdec,cfgo->bhwdefgo", u1, w2)
+        u2 = gelu(u2 + p["upscale"]["ct2_b"])
+        masks = jnp.einsum(
+            "btc,bhwdefgc->bthwdefg", hyper_sl, u2,
+            preferred_element_type=jnp.float32,
+        )
+        masks = masks.reshape(b, pb, n_out, g, g, 2, 2, 2, 2)
+    else:
+        up = _upscale2x(up, p["upscale"]["ct1_w"], p["upscale"]["ct1_b"])
+        up = gelu(layer_norm(up, p["upscale"]["ln"], 1e-6))
+        up = gelu(_upscale2x(up, p["upscale"]["ct2_w"], p["upscale"]["ct2_b"]))
+        # up: (BP, 4G, 4G, C/8)
+        g4 = 4 * g
+        masks = jnp.einsum(
+            "btc,bpc->btp", hyper_sl, up.reshape(b * pb, g4 * g4, -1),
+            preferred_element_type=jnp.float32,
+        )
+        masks = masks.reshape(b, pb, n_out, g4, g4)
 
     ih = p["iou_head"]
     y = jax.nn.relu(linear(iou_token_out, ih["l0"]))
@@ -629,8 +660,7 @@ def decode_masks(
     iou_pred = linear(y, ih[f"l{d.iou_head_depth - 1}"])
     iou_pred = iou_pred.reshape(b, pb, d.num_mask_tokens)
 
-    sl = slice(1, None) if multimask_output else slice(0, 1)
-    return masks[:, :, sl], iou_pred[:, :, sl]
+    return masks, iou_pred[:, :, sl]
 
 
 # ---------------------------------------------------------------------------

@@ -77,6 +77,7 @@ def display_samples(
         pred_map = _class_map(probs, sample.mask_values)
         gt_map = _class_map(sample.gt_masks, sample.mask_values)
 
+        entry = None
         try:
             from PIL import Image
 
@@ -86,7 +87,7 @@ def display_samples(
             )
             path = os.path.join(out_dir, f"{split}_e{epoch}_i{i}.png")
             Image.fromarray(panel).save(path)
-            images_logged.append(path)
+            entry = path
         except ImportError:
             pass
         try:
@@ -95,7 +96,7 @@ def display_samples(
             # (training_utils.py:339-348)
             import wandb
 
-            images_logged[-1] = wandb.Image(image, masks={
+            entry = wandb.Image(image, masks={
                 "pred": {"mask_data": pred_map,
                          "class_labels": config.mask_dict},
                 "gt": {"mask_data": gt_map,
@@ -103,4 +104,6 @@ def display_samples(
             })
         except ImportError:
             pass
+        if entry is not None:
+            images_logged.append(entry)
     logger.log_images(f"{split}_samples", images_logged)

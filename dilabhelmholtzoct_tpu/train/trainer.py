@@ -50,7 +50,7 @@ from ..models.sam import (
     init_params,
 )
 from ..ops.losses import segmentation_loss
-from ..ops.postprocess import postprocess_masks
+from ..ops.postprocess import postprocess_masks_blocked
 from ..ops.preprocess import preprocess_image, rescale_boxes, rescale_coords
 from ..utils import checkpoint as ckpt_utils
 from ..utils.logging import MultiLogger, make_logger
@@ -198,10 +198,11 @@ def _forward_from_embeddings(
         )
     pe = image_wide_pe(params, cfg)
     low_res, _ = decode_masks(
-        params, cfg, embeddings, pe, sparse, dense, multimask_output=False
+        params, cfg, embeddings, pe, sparse, dense, multimask_output=False,
+        blocked=True,
     )
-    low_res = low_res[:, :, 0]  # (B, C, Gl, Gl) — squeeze(2) in the reference
-    return postprocess_masks(low_res, orig_hw, model_size=size)
+    low_res = low_res[:, :, 0]  # squeeze(2) in the reference
+    return postprocess_masks_blocked(low_res, orig_hw, model_size=size)
 
 
 def _loss_from_masks(masks, batch, config: TrainConfig, pairing=None):

@@ -118,6 +118,19 @@ def test_postprocess_matches_torch(rng):
     )
 
 
+def test_postprocess_operator_matches_direct(rng):
+    """The composed-operator form == the direct two-resize form at the real
+    decoder geometry (256² → crop 992×1024 → 496×512)."""
+    from dilabhelmholtzoct_tpu.ops.postprocess import postprocess_masks_direct
+
+    low = rng.normal(size=(2, 4, 256, 256)).astype(np.float32)
+    ours = postprocess_masks(jnp.asarray(low), (496, 512))
+    direct = postprocess_masks_direct(jnp.asarray(low), (496, 512))
+    np.testing.assert_allclose(
+        np.asarray(ours), np.asarray(direct), atol=1e-4, rtol=1e-4
+    )
+
+
 # ---------------------------------------------------------------------------
 # Losses vs torch / monai semantics
 # ---------------------------------------------------------------------------

@@ -239,6 +239,49 @@ def test_jit_compiles_and_matches_eager():
     )
 
 
+def test_blocked_decode_matches_natural():
+    """decode_masks(blocked=True) is a pure relayout of the natural-order
+    masks, and postprocess_masks_blocked == postprocess_masks on it."""
+    from dilabhelmholtzoct_tpu.models.sam import (
+        decode_masks, encode_prompts, image_wide_pe, init_params,
+    )
+    from dilabhelmholtzoct_tpu.ops.postprocess import (
+        postprocess_masks, postprocess_masks_blocked,
+    )
+
+    cfg = _our_tiny()
+    params = init_params(jax.random.PRNGKey(2), cfg)
+    rng = np.random.default_rng(11)
+    g = cfg.prompt.image_embedding_size
+    c = cfg.prompt.hidden_size
+    b, p = 2, 3
+    emb = jnp.asarray(rng.normal(size=(b, g, g, c)).astype(np.float32))
+    boxes = jnp.asarray(
+        rng.uniform(4, 100, size=(b, p, 4)).astype(np.float32)
+    )
+    sparse, dense = encode_prompts(params, cfg, b, boxes=boxes)
+    pe = image_wide_pe(params, cfg)
+
+    nat, iou_n = decode_masks(params, cfg, emb, pe, sparse, dense)
+    blk, iou_b = decode_masks(params, cfg, emb, pe, sparse, dense,
+                              blocked=True)
+    # regroup (h, w, d, e, f, g) -> (4h+2d+f, 4w+2e+g)
+    m = blk.shape[2]
+    re = jnp.transpose(blk, (0, 1, 2, 3, 5, 7, 4, 6, 8))
+    re = re.reshape(b, p, m, 4 * g, 4 * g)
+    np.testing.assert_allclose(np.asarray(nat), np.asarray(re), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(iou_n), np.asarray(iou_b))
+
+    hw = (61, 101)
+    post_n = postprocess_masks(nat[:, :, 0], hw, model_size=cfg.vision.image_size)
+    post_b = postprocess_masks_blocked(
+        blk[:, :, 0], hw, model_size=cfg.vision.image_size
+    )
+    np.testing.assert_allclose(
+        np.asarray(post_n), np.asarray(post_b), atol=1e-4, rtol=1e-4
+    )
+
+
 def test_pt_export_roundtrip(tmp_path):
     """params → reference .pt → load_pretrained == identity (the
     checkpoint interchange guarantee, training_utils.py:77 format)."""
