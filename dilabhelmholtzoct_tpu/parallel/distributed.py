@@ -1,0 +1,85 @@
+"""Multi-host (multi-process) data parallelism.
+
+The reference is strictly single-device (octsam/models/training_utils.py:
+33-34); single-host multi-chip DP is parallel/mesh.py. This module adds the
+multi-host layer: ``jax.distributed.initialize`` bootstrap, a per-process
+slice of every global batch, and assembly of global sharded arrays from
+process-local shards via ``jax.make_array_from_process_local_data``. XLA
+still inserts the gradient all-reduce; with a ('data',) mesh laid out over
+all processes' devices the collective rides ICI within a slice and DCN
+across slices — no application-level communication code.
+
+Single-process behavior is a strict no-op passthrough, so the trainer uses
+these helpers unconditionally.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+_initialized = False
+
+
+def initialize(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> bool:
+    """Bootstrap jax.distributed from args or env. Returns True if a
+    multi-process runtime was initialized.
+
+    Env fallbacks: JAX_COORDINATOR_ADDRESS, JAX_NUM_PROCESSES,
+    JAX_PROCESS_ID (also auto-detected on Cloud TPU pods where
+    jax.distributed.initialize() needs no arguments).
+    """
+    global _initialized
+    if _initialized:
+        return jax.process_count() > 1
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    )
+    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    if coordinator_address is None and num_processes is None:
+        # single-process run (or TPU-pod auto-detect explicitly disabled)
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    _initialized = True
+    return jax.process_count() > 1
+
+
+def process_slice(n_rows: int) -> slice:
+    """Contiguous slice of a global batch owned by this process.
+
+    n_rows must already be padded to a multiple of process_count
+    (parallel/mesh.pad_to_multiple with multiple=len(jax.devices()) covers
+    this: device count is a multiple of process count).
+    """
+    pc = jax.process_count()
+    assert n_rows % pc == 0, (n_rows, pc)
+    per = n_rows // pc
+    pi = jax.process_index()
+    return slice(pi * per, (pi + 1) * per)
+
+
+def global_batch_array(local_rows, global_rows: int, sharding):
+    """Assemble a global sharded array from this process's local rows.
+
+    local_rows: this process's shard (numpy or jax array), the
+    ``process_slice(global_rows)`` rows of the conceptual global batch.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(local_rows, sharding)
+    global_shape = (global_rows,) + tuple(np.shape(local_rows))[1:]
+    return jax.make_array_from_process_local_data(
+        sharding, np.asarray(local_rows), global_shape
+    )

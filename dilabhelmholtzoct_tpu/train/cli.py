@@ -102,6 +102,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="'all' = full fine-tune incl. encoder (remat)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--resume", type=_str2bool, default=False)
+    p.add_argument("--multihost", type=_str2bool, default=False,
+                   help="bootstrap jax.distributed for multi-process DP "
+                        "(coordinator via JAX_COORDINATOR_ADDRESS / "
+                        "JAX_NUM_PROCESSES / JAX_PROCESS_ID)")
     return p
 
 
@@ -160,6 +164,7 @@ def config_from_args(args) -> TrainConfig:
         entity=args.entity,
         wandb_dir=os.path.join(args.data_directory, "runs"),
         export_pt=True,  # reference parity: final .pt always written
+        multihost=args.multihost,
     )
 
 

@@ -103,6 +103,9 @@ class TrainConfig:
     encoder_microbatch: int = 1  # images encoded per sequential chunk
     data_transforms: tuple[str, ...] = ()  # augment ops (train split only)
     data_parallel: bool = True  # shard batches over all local devices
+    multihost: bool = False  # bootstrap jax.distributed (multi-process DP);
+    #   coordinator/process identity from args or JAX_COORDINATOR_ADDRESS /
+    #   JAX_NUM_PROCESSES / JAX_PROCESS_ID (parallel/distributed.py)
     trainable: str = "decoder"  # "decoder" (reference parity) | "all"
     #   "all" unfreezes the encoders (BASELINE.md config 5, e.g. ViT-L
     #   encoder fine-tune): requires cache_embeddings=False; encoder runs
@@ -429,7 +432,17 @@ def training(config: TrainConfig, logger: MultiLogger | None = None) -> dict:
     Returns {'params', 'cfg', 'history', 'checkpoint_dir'}.
     """
     from ..data.store import load_split
+    from ..parallel import distributed as dist
 
+    # Multi-host bootstrap (no-op unless JAX_COORDINATOR_ADDRESS /
+    # JAX_NUM_PROCESSES are set or config.multihost requests it). Every
+    # process runs the same deterministic loop and owns a contiguous row
+    # slice of each global batch; process 0 owns logging/checkpoints.
+    multihost = dist.initialize() if config.multihost else False
+    primary = jax.process_index() == 0
+
+    if logger is None and not primary:
+        logger = make_logger(quiet=True)
     if logger is None:
         logger = make_logger(
             jsonl_path=config.log_jsonl
@@ -535,17 +548,34 @@ def training(config: TrainConfig, logger: MultiLogger | None = None) -> dict:
                  if k in keys + ("indices", "image")},
                 len(jax.devices()),
             )
-            put = lambda v: jax.device_put(jnp.asarray(v), batch_sharding)
+            n_rows = next(iter(batch.values())).shape[0]
+            if multihost:
+                # every process iterates the identical (seeded) batch
+                # order; each contributes only its contiguous row slice
+                sl = dist.process_slice(n_rows)
+                put = lambda v: dist.global_batch_array(
+                    np.asarray(v)[sl], n_rows, batch_sharding
+                )
+            else:
+                put = lambda v: jax.device_put(
+                    jnp.asarray(v), batch_sharding
+                )
         else:
             put = jnp.asarray
         out = {k: put(v) for k, v in batch.items() if k in keys}
         if use_cache:
-            idx = jnp.asarray(batch["indices"])
-            emb_rows = jnp.take(emb, idx, axis=0)
-            out["embeddings"] = (
-                jax.device_put(emb_rows, batch_sharding)
-                if mesh is not None else emb_rows
-            )
+            if multihost:
+                # emb is kept host-side per process; ship only local rows
+                out["embeddings"] = put(
+                    np.asarray(emb)[np.asarray(batch["indices"])]
+                )
+            else:
+                emb_rows = jnp.take(emb, jnp.asarray(batch["indices"]),
+                                    axis=0)
+                out["embeddings"] = (
+                    jax.device_put(emb_rows, batch_sharding)
+                    if mesh is not None else emb_rows
+                )
         else:
             out["image"] = put(batch["image"])
         return out
@@ -568,7 +598,8 @@ def training(config: TrainConfig, logger: MultiLogger | None = None) -> dict:
     from ..utils.profiling import StepTimer, profile_trace
 
     timer = StepTimer(logger, prefix="perf/train")
-    run_display(start_epoch - 1)
+    if primary:
+        run_display(start_epoch - 1)
     for epoch in range(start_epoch, config.epochs):
         t0 = time.time()
         total, count = 0.0, 0
@@ -618,11 +649,16 @@ def training(config: TrainConfig, logger: MultiLogger | None = None) -> dict:
         )
         history.append({"epoch": epoch, "train_loss": train_loss,
                         "valid_loss": valid_loss, "seconds": dt})
-        ckpt_utils.save_checkpoint(
-            run_dir, epoch,
-            {"decoder": decoder_params, "opt_state": opt_state, "epoch": epoch},
-        )
-        run_display(epoch)
+        if primary:
+            # params are replicated, so process 0 holds the full state;
+            # saving from one process avoids concurrent writes on a
+            # shared filesystem
+            ckpt_utils.save_checkpoint(
+                run_dir, epoch,
+                {"decoder": decoder_params, "opt_state": opt_state,
+                 "epoch": epoch},
+            )
+            run_display(epoch)
 
     params_final = _merge_params(decoder_params, frozen_params)
 
