@@ -83,7 +83,7 @@ def report(totals: dict[str, float], top: int = 25):
         print(f"  {ms:8.3f} ms  {name[:110]}")
 
 
-def profile_encoder(batch: int, runs: int, dtype: str):
+def profile_encoder(batch: int, runs: int, dtype: str, top: int = 25):
     import jax
     import jax.numpy as jnp
     from dilabhelmholtzoct_tpu.utils.cache import enable_compilation_cache
@@ -110,7 +110,7 @@ def profile_encoder(batch: int, runs: int, dtype: str):
     out.block_until_ready()
     jax.profiler.stop_trace()
     totals = collect_xplane(logdir, runs)
-    report(totals)
+    report(totals, top=top)
     total = sum(totals.values())
     print(f"\nencoder B={batch} {dtype}: {total:.1f} ms device "
           f"-> {batch / (total / 1e3):.1f} img/s (encoder only)")
@@ -186,9 +186,10 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--runs", type=int, default=4)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--top", type=int, default=25)
     args = ap.parse_args()
     if args.target == "encoder":
-        profile_encoder(args.batch, args.runs, args.dtype)
+        profile_encoder(args.batch, args.runs, args.dtype, args.top)
     elif args.target == "step":
         profile_step(args.batch, args.runs, cached=True)
     else:
