@@ -60,7 +60,8 @@ def group_of(name: str) -> str:
         return "flash/pallas"
     if opcode in ("copy", "transpose", "copy-done", "copy-start"):
         return "copy/transpose"
-    if opcode == "convolution" or "convolution" in head or "gemm" in head:
+    if (opcode in ("convolution", "dot") or "convolution" in head
+            or "gemm" in head or head.startswith("dot")):
         return "conv/matmul"
     if "reduce" in head:
         return "reduce/norm"
