@@ -23,7 +23,11 @@ from .configs import SamConfig
 def _to_numpy(t):
     if hasattr(t, "detach"):
         t = t.detach().cpu().numpy()
-    return np.asarray(t, dtype=np.float32)
+    # copy=True: torch's .numpy() returns a zero-copy VIEW of the live
+    # parameter storage — without the copy, converting from a live model
+    # and then stepping its torch optimizer would silently mutate the
+    # converted pytree (found via train-step parity testing).
+    return np.array(t, dtype=np.float32, copy=True)
 
 
 def load_state_dict(path: str, *, allow_pickled_module: bool = False) -> dict:
