@@ -193,6 +193,10 @@ def _packed_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, *refs,
     def qkv_block(ref):
         return ref[0]  # (T, 128)
 
+    # NOTE (negative result, round 2): tile sweep — (tq=256, tk=1024)
+    # 8.88 ms and (tq=256, tk=2048) 8.96 ms vs (512, 1024) 8.34 ms per
+    # global layer (in-context xplane); (512|1024, ≥2048) fail to compile
+    # (VMEM). The default (512, 1024) is the optimum.
     # NOTE (negative result, round 2): feeding the kernel pair-contiguous
     # (B, 3P, N, 128) inputs via one XLA transpose left the kernel time
     # IDENTICAL (8.32 vs 8.34 ms/global layer) and cost +13 ms for the
