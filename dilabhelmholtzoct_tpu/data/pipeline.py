@@ -13,7 +13,14 @@ from typing import Iterator
 
 import numpy as np
 
-from .sampling import DEFAULT_BUCKETS, PromptedSample, collate, sample_prompts
+from .sampling import (
+    DEFAULT_BUCKETS,
+    PromptedSample,
+    collate,
+    extract_for_sampling,
+    prompts_from_extraction,
+    sample_prompts,
+)
 from .store import item_arrays
 
 
@@ -33,6 +40,7 @@ class PromptedDataset:
         pseudocolor: str | None = None,
         seed: int = 0,
         augment=None,
+        cache_components: bool = True,
     ):
         self.dataset = dataset
         self.prompt_type = prompt_type
@@ -42,6 +50,15 @@ class PromptedDataset:
         self._seed = seed
         self._epoch = 0
         self.augment = augment  # data/augment.Augmenter or None
+        # Cross-epoch cache of the deterministic component extraction
+        # (label decode + C++ CCL/bboxes, ~25 ms/img on one core): the
+        # labeling is a pure function of the label map, only the jitter /
+        # point draws need per-epoch randomness (sampling.py). Disabled
+        # under augmentation (the label map changes every epoch). ~0.5 MB
+        # per cached 496x512 item.
+        self._comp_cache: dict | None = (
+            {} if (cache_components and augment is None) else None
+        )
         # label-only view: HF datasets decode every image column on row
         # access; prompt sampling only needs the label map, and decoding the
         # 496x512 PNG image too doubles the host cost of every epoch
@@ -71,6 +88,32 @@ class PromptedDataset:
             (self._seed * 1_000_003 + self._epoch * 7919 + int(idx)) & 0x7FFFFFFF
         )
 
+    def _label(self, idx: int) -> np.ndarray:
+        if self._labels_only is not None:
+            label = np.array(self._labels_only[int(idx)]["label"])
+            if label.ndim == 3:
+                label = label[..., 0]
+            return label
+        _, label = item_arrays(self.dataset[int(idx)])
+        return label
+
+    def _sample_cached(self, idx, rng, label=None) -> PromptedSample:
+        """Prompt sampling with the cross-epoch component cache."""
+        if self._comp_cache is None:
+            if label is None:
+                label = self._label(idx)
+            return sample_prompts(label, self.prompt_type, rng)
+        hit = self._comp_cache.get(idx)
+        if hit is None:
+            if label is None:
+                label = self._label(idx)
+            native = extract_for_sampling(label)
+            if native is None:  # no native lib: fall back, uncached
+                return sample_prompts(label, self.prompt_type, rng)
+            hit = (native, label.shape)
+            self._comp_cache[idx] = hit
+        return prompts_from_extraction(hit[0], hit[1], self.prompt_type, rng)
+
     def sample(self, idx: int) -> PromptedSample:
         """Prompts only — skips image decode (embedding-cache train path).
         Unavailable with augmentation enabled (augmented geometry changes
@@ -79,13 +122,17 @@ class PromptedDataset:
             "embedding cache is incompatible with data augmentation; "
             "set cache_embeddings=False"
         )
-        if self._labels_only is not None:
-            label = np.array(self._labels_only[int(idx)]["label"])
-            if label.ndim == 3:
-                label = label[..., 0]
-        else:
-            _, label = item_arrays(self.dataset[int(idx)])
-        return sample_prompts(label, self.prompt_type, self._rng(idx))
+        return self._sample_cached(int(idx), self._rng(idx))
+
+    def comp_map(self, idx: int) -> np.ndarray:
+        """(H, W) int32 component-slot map for one item — deterministic
+        (RNG-free), so the trainer can stage all maps on device once and
+        gather rows per batch instead of re-uploading 8 MB of int32 per
+        step (large sustained host->device traffic degrades the axon
+        tunnel: epochs were measured drifting 5s -> 50s)."""
+        assert self.augment is None
+        sample = self._sample_cached(int(idx), np.random.default_rng(0))
+        return sample.comp_map
 
     def __getitem__(self, idx: int) -> tuple[np.ndarray, PromptedSample]:
         image, label = item_arrays(self.dataset[int(idx)])
@@ -96,7 +143,7 @@ class PromptedDataset:
             from ..ops.preprocess import colormap_lut
 
             image = colormap_lut(self.pseudocolor)[image[:, :, 0]]
-        return image, sample_prompts(label, self.prompt_type, rng)
+        return image, self._sample_cached(int(idx), rng, label=label)
 
 
 def batches(
@@ -111,8 +158,17 @@ def batches(
     prefetch: int = 4,
     drop_last: bool = False,
     with_images: bool = True,
+    pad_last: bool = True,
 ) -> Iterator[dict]:
-    """Prefetching batch iterator with static bucketed shapes."""
+    """Prefetching batch iterator with static bucketed shapes.
+
+    pad_last=True pads the final partial batch up to ``batch_size`` with
+    zero rows whose ``channel_mask`` is all-zero (excluded from every
+    masked loss term — math identical to the reference's smaller last
+    batch). Without it, a shuffled run keeps meeting new
+    (bucket, last-batch-size) shape combinations and pays a fresh XLA
+    compile mid-training — measured as epochs degrading 9s -> 42s.
+    """
     n = len(dataset)
     order = np.arange(n)
     if shuffle:
@@ -137,6 +193,12 @@ def batches(
             samples, images, prompt_type=dataset.prompt_type, buckets=buckets
         )
         batch["indices"] = np.asarray(idx_chunk, np.int32)
+        pad = batch_size - len(idx_chunk)
+        if pad_last and pad > 0:
+            for k, v in batch.items():
+                batch[k] = np.concatenate(
+                    [v, np.zeros((pad, *v.shape[1:]), v.dtype)]
+                )
         return batch
 
     with concurrent.futures.ThreadPoolExecutor(num_workers) as pool:

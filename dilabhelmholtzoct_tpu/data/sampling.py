@@ -77,6 +77,61 @@ def label_components(binary_mask: np.ndarray):
 MAX_COMPONENTS = 256  # host-side extraction cap (far above any real image)
 
 
+def extract_for_sampling(ground_truth_mask: np.ndarray):
+    """Deterministic (RNG-free) half of prompt sampling: the C++ component
+    extraction. Returns an opaque tuple for ``prompts_from_extraction`` or
+    None when the native library is unavailable.
+
+    Split out so the input pipeline can CACHE it across epochs: the
+    reference re-runs scipy.ndimage.label every epoch
+    (training_utils.py:397-415), but the labeling is a pure function of the
+    label map — only the ±10px jitter / point draw needs fresh randomness.
+    At 496x512/14 classes extraction costs ~24 ms/image on one host core,
+    which would otherwise dominate the epoch once the device step is fast.
+    """
+    from ..ops.native import extract_components
+
+    gt8 = np.ascontiguousarray(ground_truth_mask, np.uint8)
+    return extract_components(gt8, MAX_COMPONENTS)
+
+
+def prompts_from_extraction(
+    native,
+    shape: tuple[int, int],
+    prompt_type: str,
+    rng: np.random.Generator,
+) -> PromptedSample:
+    """Randomized half: jittered bboxes / uniform points from a (possibly
+    cached) ``extract_for_sampling`` result. RNG draw order matches the
+    reference and the pure-python fallback exactly."""
+    from ..ops.native import component_pixel_at
+
+    h, w = shape
+    comp_map, values, raw_boxes, sizes, total = native
+    n = len(values)
+    if prompt_type == "points":
+        ranks = np.asarray(
+            [int(rng.integers(0, int(sz))) for sz in sizes], np.int64
+        )
+        xy = component_pixel_at(comp_map, ranks)
+        prompts = xy.astype(np.float32).reshape(n, 1, 2)
+    else:
+        prompts = np.empty((n, 4), np.float32)
+        for s in range(n):
+            x0, y0, x1, y1 = (int(q) for q in raw_boxes[s])
+            # ±10px jitter, clamped; drawn in the reference's order
+            # x_min, x_max, y_min, y_max (training_utils.py:407-410)
+            jx0 = max(0, x0 + int(rng.integers(-10, 10)))
+            jx1 = min(w, x1 + int(rng.integers(-10, 10)))
+            jy0 = max(0, y0 + int(rng.integers(-10, 10)))
+            jy1 = min(h, y1 + int(rng.integers(-10, 10)))
+            prompts[s] = (jx0, jy0, jx1, jy1)
+    return PromptedSample(
+        bboxes=prompts, comp_map=comp_map,
+        mask_values=values.astype(np.int32),
+    )
+
+
 def sample_prompts(
     ground_truth_mask: np.ndarray,
     prompt_type: str,
@@ -88,36 +143,13 @@ def sample_prompts(
     component map, per-component bboxes and sizes; random point prompts are
     rank-selected in C++ too. RNG draw order matches the pure-python
     fallback exactly, so results are identical either way (tested)."""
-    from ..ops.native import component_pixel_at, extract_components
-
-    h, w = ground_truth_mask.shape
-    gt8 = np.ascontiguousarray(ground_truth_mask, np.uint8)
-    native = extract_components(gt8, MAX_COMPONENTS)
+    native = extract_for_sampling(ground_truth_mask)
     if native is not None:
-        comp_map, values, raw_boxes, sizes, total = native
-        n = len(values)
-        if prompt_type == "points":
-            ranks = np.asarray(
-                [int(rng.integers(0, int(sz))) for sz in sizes], np.int64
-            )
-            xy = component_pixel_at(comp_map, ranks)
-            prompts = xy.astype(np.float32).reshape(n, 1, 2)
-        else:
-            prompts = np.empty((n, 4), np.float32)
-            for s in range(n):
-                x0, y0, x1, y1 = (int(q) for q in raw_boxes[s])
-                # ±10px jitter, clamped; drawn in the reference's order
-                # x_min, x_max, y_min, y_max (training_utils.py:407-410)
-                jx0 = max(0, x0 + int(rng.integers(-10, 10)))
-                jx1 = min(w, x1 + int(rng.integers(-10, 10)))
-                jy0 = max(0, y0 + int(rng.integers(-10, 10)))
-                jy1 = min(h, y1 + int(rng.integers(-10, 10)))
-                prompts[s] = (jx0, jy0, jx1, jy1)
-        return PromptedSample(
-            bboxes=prompts, comp_map=comp_map,
-            mask_values=values.astype(np.int32),
+        return prompts_from_extraction(
+            native, ground_truth_mask.shape, prompt_type, rng
         )
 
+    h, w = ground_truth_mask.shape
     # pure-python fallback (identical semantics)
     prompts, values = [], []
     comp_map = np.zeros((h, w), np.int32)

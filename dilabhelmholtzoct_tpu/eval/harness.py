@@ -208,18 +208,31 @@ def evaluate_metrics(params, cfg, config, dataset, *, orig_hw, num_classes=14,
             "Dice": dice(*conf),
             "AP": average_precision(flat_probs, flat_gt),
         }
-        per_sample = {k: [] for k in g}
-        for j in range(len(seg[cls])):
-            cj = binary_confusion(flat_seg[j], flat_gt[j])
-            per_sample["IoU"].append(iou(*cj))
-            per_sample["Accuracy"].append(category_accuracy(*cj))
-            per_sample["Specificity"].append(specificity(*cj))
-            per_sample["Sensitivity"].append(sensitivity(*cj))
-            per_sample["F1"].append(f1(*cj))
-            per_sample["Dice"].append(dice(*cj))
-            per_sample["AP"].append(
-                average_precision(flat_probs[j], flat_gt[j])
-            )
+        # per-sample confusion metrics, one vectorized pass over the class
+        # stack (the per-sample python loop of binary_confusion calls cost
+        # ~6 bool passes per sample each)
+        ps = flat_seg.reshape(len(seg[cls]), -1).astype(bool)
+        gs = flat_gt.reshape(len(seg[cls]), -1).astype(bool)
+        tp_v = np.sum(ps & gs, axis=1).astype(np.float64)
+        fp_v = np.sum(ps & ~gs, axis=1).astype(np.float64)
+        fn_v = np.sum(~ps & gs, axis=1).astype(np.float64)
+        tn_v = ps.shape[1] - tp_v - fp_v - fn_v
+        with np.errstate(divide="ignore", invalid="ignore"):
+            per_sample = {
+                "IoU": tp_v / (tp_v + fp_v + fn_v),
+                "Accuracy": tp_v / (tp_v + fn_v),
+                "Specificity": np.where(
+                    tn_v + fp_v > 0, tn_v / (tn_v + fp_v), 0.0),
+                "Sensitivity": np.where(
+                    tp_v + fn_v > 0, tp_v / (tp_v + fn_v), 0.0),
+                "F1": np.where(2 * tp_v + fp_v + fn_v > 0,
+                               2 * tp_v / (2 * tp_v + fp_v + fn_v), 0.0),
+            }
+        per_sample["Dice"] = per_sample["F1"]
+        per_sample["AP"] = [
+            average_precision(flat_probs[j], flat_gt[j])
+            for j in range(len(seg[cls]))
+        ]
         idx = np.asarray(indexes[cls])
         cls_report = {}
         for metric in g:

@@ -406,18 +406,32 @@ def precompute_embeddings(
     Returns a device array (N, G, G, C) in ``dtype``. For 552 images of
     ViT-B geometry this is ~1.1 GB bf16 — resident in HBM for the whole run.
     """
-    encode = jax.jit(
-        lambda p, x: encode_image_microbatched(
-            p, x, cfg, microbatch).astype(dtype)
-    )
+    # ONE jitted program per batch (preprocess fused with the encoder):
+    # eager per-op preprocess paid a ~29 ms tunnel RTT per op and ran the
+    # whole precompute at 4.4 img/s; host image decode is prefetched in a
+    # thread so the device never waits on PNG decoding.
+    @jax.jit
+    def encode(p, imgs):
+        pix, _ = preprocess_image(
+            imgs, target_size=cfg.vision.image_size, dtype=dtype
+        )
+        return encode_image_microbatched(p, pix, cfg, microbatch).astype(dtype)
+
     n = len(dataset)
     outs = []
     t0 = time.time()
-    for i0 in range(0, n, batch_size):
-        idx = range(i0, min(i0 + batch_size, n))
-        imgs = np.stack([dataset.image(i) for i in idx])
-        pix, _ = preprocess_image(jnp.asarray(imgs), target_size=cfg.vision.image_size, dtype=dtype)
-        outs.append(encode(params, pix))
+    import concurrent.futures
+
+    chunks = [range(i0, min(i0 + batch_size, n))
+              for i0 in range(0, n, batch_size)]
+
+    def load(idx):
+        return np.stack([dataset.image(i) for i in idx])
+
+    with concurrent.futures.ThreadPoolExecutor(2) as pool:
+        futs = [pool.submit(load, c) for c in chunks]
+        for fut in futs:
+            outs.append(encode(params, jnp.asarray(fut.result())))
     emb = jnp.concatenate(outs, axis=0)
     emb.block_until_ready()
     if verbose:
@@ -510,6 +524,7 @@ def training(config: TrainConfig, logger: MultiLogger | None = None) -> dict:
     dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
     use_cache = config.cache_embeddings
     train_emb = valid_emb = None
+    train_cm = valid_cm = None
     if use_cache:
         train_emb = precompute_embeddings(
             params, cfg, train_ds, dtype=dtype,
@@ -517,6 +532,23 @@ def training(config: TrainConfig, logger: MultiLogger | None = None) -> dict:
         valid_emb = precompute_embeddings(
             params, cfg, valid_ds, dtype=dtype,
             microbatch=config.encoder_microbatch)
+        if not config.multihost:
+            # Stage the (deterministic) component maps on device once,
+            # like the embeddings: re-uploading 8 MB of int32 comp_map per
+            # batch is the dominant host->device traffic and sustained
+            # uploads degrade the axon tunnel (epochs drift 5s -> 50s
+            # after a few hundred MB; device-resident batches are steady).
+            # Slot ids are clipped to 255 for uint8 — slots above any
+            # bucket never produce a loss channel, so the clip is inert.
+            def stage_comp_maps(ds):
+                cm = np.stack([
+                    np.minimum(ds.comp_map(i), 255)
+                    for i in range(len(ds))
+                ]).astype(np.uint8)
+                return jnp.asarray(cm)
+
+            train_cm = stage_comp_maps(train_ds)
+            valid_cm = stage_comp_maps(valid_ds)
 
     train_step = make_train_step(cfg, config, optimizer, orig_hw, use_cache)
     eval_step = make_eval_step(cfg, config, orig_hw, use_cache)
@@ -538,8 +570,12 @@ def training(config: TrainConfig, logger: MultiLogger | None = None) -> dict:
         batch_sharding = data_sharding(mesh)
         print(f"[dp] data-parallel over {n_dev} devices")
 
-    def device_batch(batch, emb):
+    def device_batch(batch, emb, cm=None):
         keys = ("prompts", "comp_map", "channel_mask", "point_labels")
+        if cm is not None:
+            # comp_map staged on device (see stage_comp_maps above):
+            # gather rows there instead of uploading them
+            keys = tuple(k for k in keys if k != "comp_map")
         if mesh is not None:
             from ..parallel.mesh import pad_to_multiple
 
@@ -563,6 +599,15 @@ def training(config: TrainConfig, logger: MultiLogger | None = None) -> dict:
         else:
             put = jnp.asarray
         out = {k: put(v) for k, v in batch.items() if k in keys}
+        idx_dev = None
+        if cm is not None or (use_cache and not multihost):
+            idx_dev = jnp.asarray(np.asarray(batch["indices"]))
+        if cm is not None:
+            cm_rows = jnp.take(cm, idx_dev, axis=0).astype(jnp.int32)
+            out["comp_map"] = (
+                jax.device_put(cm_rows, batch_sharding)
+                if mesh is not None else cm_rows
+            )
         if use_cache:
             if multihost:
                 # emb is kept host-side per process; ship only local rows
@@ -570,8 +615,7 @@ def training(config: TrainConfig, logger: MultiLogger | None = None) -> dict:
                     np.asarray(emb)[np.asarray(batch["indices"])]
                 )
             else:
-                emb_rows = jnp.take(emb, jnp.asarray(batch["indices"]),
-                                    axis=0)
+                emb_rows = jnp.take(emb, idx_dev, axis=0)
                 out["embeddings"] = (
                     jax.device_put(emb_rows, batch_sharding)
                     if mesh is not None else emb_rows
@@ -615,7 +659,7 @@ def training(config: TrainConfig, logger: MultiLogger | None = None) -> dict:
                 shuffle=config.shuffle, seed=config.seed, epoch=epoch,
                 buckets=config.buckets, with_images=not use_cache,
             ):
-                db = device_batch(batch, train_emb)
+                db = device_batch(batch, train_emb, train_cm)
                 with timer:
                     decoder_params, opt_state, loss = train_step(
                         decoder_params, opt_state, frozen_params, db
@@ -624,7 +668,12 @@ def training(config: TrainConfig, logger: MultiLogger | None = None) -> dict:
                 # step and stall the dispatch pipeline (~10% throughput)
                 epoch_losses.append(loss)
                 count += 1
-        total = float(sum(float(l) for l in epoch_losses))
+        t_train = time.time() - t0
+        # ONE device fetch for the whole epoch: per-loss float() would pay
+        # the ~29 ms tunnel RTT per step (1.8 s/epoch at 62 steps)
+        total = float(np.sum(jax.device_get(jnp.stack(epoch_losses)))) \
+            if epoch_losses else 0.0
+        t_sync = time.time() - t0 - t_train
         train_loss = total / max(count, 1)
         logger.log({"train/train_loss": train_loss, "train/epoch": epoch})
         timer.log_summary()
@@ -634,9 +683,11 @@ def training(config: TrainConfig, logger: MultiLogger | None = None) -> dict:
             valid_ds, config.batch_size, epoch=epoch, buckets=config.buckets,
             with_images=not use_cache,
         ):
-            db = device_batch(batch, valid_emb)
+            db = device_batch(batch, valid_emb, valid_cm)
             vlosses.append(eval_step(decoder_params, frozen_params, db))
-        vtotal = float(sum(float(l) for l in vlosses))
+        vtotal = float(np.sum(jax.device_get(jnp.stack(vlosses)))) \
+            if vlosses else 0.0
+        t_val = time.time() - t0 - t_train - t_sync
         vcount = len(vlosses)
         valid_loss = vtotal / max(vcount, 1)
         logger.log({"val/valid_loss": valid_loss, "val/epoch": epoch})
@@ -645,10 +696,12 @@ def training(config: TrainConfig, logger: MultiLogger | None = None) -> dict:
         print(
             f"EPOCH: {epoch}, Train Loss: {train_loss:.4f}, "
             f"Valid Loss: {valid_loss:.4f} ({dt:.1f}s, "
-            f"{n_img / dt:.1f} img/s)"
+            f"{n_img / dt:.1f} img/s; "
+            f"train {t_train:.1f}s sync {t_sync:.1f}s val {t_val:.1f}s)"
         )
         history.append({"epoch": epoch, "train_loss": train_loss,
                         "valid_loss": valid_loss, "seconds": dt})
+        t_ck = time.time()
         if primary:
             # params are replicated, so process 0 holds the full state;
             # saving from one process avoids concurrent writes on a
@@ -659,6 +712,7 @@ def training(config: TrainConfig, logger: MultiLogger | None = None) -> dict:
                  "epoch": epoch},
             )
             run_display(epoch)
+        print(f"[epoch {epoch}] ckpt+display {time.time() - t_ck:.1f}s")
 
     params_final = _merge_params(decoder_params, frozen_params)
 

@@ -168,12 +168,43 @@ def test_pipeline_batches():
     got = list(batches(ds, batch_size=4, shuffle=False, num_workers=2))
     assert len(got) == 2
     assert got[0]["image"].shape == (4, 64, 64, 3)
-    assert got[1]["image"].shape == (2, 64, 64, 3)
+    # pad_last (default): final partial batch padded to batch_size with
+    # all-zero channel_mask rows (a single static batch shape per bucket)
+    assert got[1]["image"].shape == (4, 64, 64, 3)
+    np.testing.assert_array_equal(got[1]["channel_mask"][2:], 0.0)
+    unpadded = list(batches(ds, batch_size=4, num_workers=2, pad_last=False))
+    assert unpadded[1]["image"].shape == (2, 64, 64, 3)
     # epochs differ (fresh jitter), same epoch reproducible
     again = list(batches(ds, batch_size=4, shuffle=False, num_workers=2))
     np.testing.assert_array_equal(got[0]["prompts"], again[0]["prompts"])
     ep1 = list(batches(ds, batch_size=4, epoch=1, num_workers=2))
     assert not np.array_equal(got[0]["prompts"], ep1[0]["prompts"])
+
+
+def test_component_cache_identical_samples():
+    """cache_components=True must be sample-for-sample identical to the
+    uncached path across epochs (extraction is deterministic; only the
+    jitter consumes RNG), and must actually hit the cache on epoch 2."""
+    from dilabhelmholtzoct_tpu.data.pipeline import PromptedDataset
+
+    items = []
+    for i in range(4):
+        m = _blob_mask()
+        items.append({"image": np.full((64, 64, 3), i, np.uint8), "label": m})
+    for prompt_type in ("bboxes", "points"):
+        cached = PromptedDataset(items, prompt_type=prompt_type, seed=3)
+        plain = PromptedDataset(items, prompt_type=prompt_type, seed=3,
+                                cache_components=False)
+        for epoch in (0, 1):
+            cached.set_epoch(epoch)
+            plain.set_epoch(epoch)
+            for i in range(len(items)):
+                a = cached.sample(i)
+                b = plain.sample(i)
+                np.testing.assert_array_equal(a.bboxes, b.bboxes)
+                np.testing.assert_array_equal(a.comp_map, b.comp_map)
+                np.testing.assert_array_equal(a.mask_values, b.mask_values)
+        assert len(cached._comp_cache) == len(items)
 
 
 def test_augmentation_pipeline(rng):
