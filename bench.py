@@ -160,6 +160,34 @@ def main():
         file=sys.stderr,
     )
 
+    # pipelined variant (opt-in topo_pipeline=True): pairing overlapped
+    # with device compute via a one-batch delay (one-param-step-stale
+    # matching; loss/grad values at current params)
+    topo_p_cfg = TrainConfig(
+        compute_dtype="bfloat16", cache_embeddings=True, batch_size=BATCH,
+        topological=True, topo_interp=50, topo_pipeline=True,
+    )
+    topo_p = make_train_step(
+        cfg, topo_p_cfg, make_optimizer(topo_p_cfg), orig_hw,
+        from_embeddings=True,
+    )
+    dec_p = jax.tree_util.tree_map(jnp.copy, decoder_params)
+    opt_p = make_optimizer(topo_p_cfg).init(dec_p)
+    dec_p, opt_p, _ = topo_p(dec_p, opt_p, frozen_params, cached_batch)
+    dec_p, opt_p, loss = topo_p(dec_p, opt_p, frozen_params, cached_batch)
+    jax.block_until_ready((dec_p, opt_p, loss))
+    t0 = time.time()
+    for _ in range(10):
+        dec_p, opt_p, loss = topo_p(dec_p, opt_p, frozen_params, cached_batch)
+    jax.block_until_ready((dec_p, opt_p, loss))
+    topo_p_ms = (time.time() - t0) / 10 * 1e3
+    print(
+        f"[bench] topo PIPELINED cached step: {topo_p_ms:.1f} ms "
+        f"({BATCH / (topo_p_ms / 1e3):.1f} img/s) — pairing hidden behind "
+        f"device compute (one-batch delay)",
+        file=sys.stderr,
+    )
+
     # point-prompt + Bone pseudocolor step (BASELINE.md config 3): LUT on
     # host (the pipeline applies it in __getitem__, data/pipeline.py:63),
     # point prompts at component centers

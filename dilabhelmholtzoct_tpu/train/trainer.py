@@ -99,6 +99,10 @@ class TrainConfig:
     topo_lamda: float = 0.1
     topo_feat_d: int = 1
     topo_interp: int = 50
+    topo_pipeline: bool = False  # overlap host persistence-pairing with
+    #   device compute via a one-batch delay (pairing one param-step
+    #   stale; loss/grad values still use current params). Off = exact
+    #   reference semantics.
     export_pt: bool = False  # write reference-format .pt (imports torch)
     encoder_microbatch: int = 1  # images encoded per sequential chunk
     data_transforms: tuple[str, ...] = ()  # augment ops (train split only)
@@ -323,10 +327,9 @@ def make_train_step(
             config.topo_interp,
         )
 
-    def topo_step(decoder_params, opt_state, frozen_params, batch):
+    def _pair(pred50, true50):
         from ..ops.topology import host_pairing
 
-        pred50, true50 = fwd_grids(decoder_params, frozen_params, batch)
         # single bundled device→host transfer (the tunnel charges a fixed
         # ~29ms round trip per synchronous call)
         pred50, true50 = jax.device_get((pred50, true50))
@@ -336,10 +339,52 @@ def make_train_step(
             true50.reshape(b * c, *true50.shape[2:]),
             feat_d=config.topo_feat_d,
         )
-        pairing = jax.device_put(pairing)
+        return jax.device_put(pairing)
+
+    def topo_step(decoder_params, opt_state, frozen_params, batch):
+        grids = fwd_grids(decoder_params, frozen_params, batch)
+        pairing = _pair(*grids)
         return step(decoder_params, opt_state, frozen_params, batch, pairing)
 
-    return topo_step
+    if not config.topo_pipeline:
+        return topo_step
+
+    # Pipelined (opt-in) topological mode: one-batch delay. Batch k's
+    # grids are produced at the CURRENT params and dispatched immediately;
+    # while the device computes them, the host pairs the PREVIOUS batch's
+    # grids and dispatches its full step. The pairing a step consumes is
+    # therefore computed at params one update older than the step sees —
+    # only the combinatorial matching is stale; the loss/gradient values
+    # still flow through the current parameters (the reference recomputes
+    # the matching per step; λ=0.1 makes the one-step staleness
+    # negligible). Hides the host persistence work (~70 ms/step of the
+    # synchronous mode) behind device time. Returns loss=None for the
+    # deferred batch; callers must call .flush() after the batch loop.
+    state = {"pending": None}
+
+    def topo_step_pipelined(decoder_params, opt_state, frozen_params, batch):
+        grids = fwd_grids(decoder_params, frozen_params, batch)
+        prev = state["pending"]
+        state["pending"] = (batch, grids)
+        if prev is None:
+            return decoder_params, opt_state, None
+        prev_batch, prev_grids = prev
+        pairing = _pair(*prev_grids)
+        return step(decoder_params, opt_state, frozen_params, prev_batch,
+                    pairing)
+
+    def flush(decoder_params, opt_state, frozen_params):
+        prev = state["pending"]
+        state["pending"] = None
+        if prev is None:
+            return decoder_params, opt_state, None
+        prev_batch, prev_grids = prev
+        pairing = _pair(*prev_grids)
+        return step(decoder_params, opt_state, frozen_params, prev_batch,
+                    pairing)
+
+    topo_step_pipelined.flush = flush
+    return topo_step_pipelined
 
 
 def make_eval_step(cfg, config: TrainConfig, orig_hw, from_embeddings: bool):
@@ -666,8 +711,16 @@ def training(config: TrainConfig, logger: MultiLogger | None = None) -> dict:
                     )
                 # keep the loss on device: a float() here would sync every
                 # step and stall the dispatch pipeline (~10% throughput)
-                epoch_losses.append(loss)
-                count += 1
+                if loss is not None:  # pipelined topo defers one batch
+                    epoch_losses.append(loss)
+                    count += 1
+            if hasattr(train_step, "flush"):
+                decoder_params, opt_state, loss = train_step.flush(
+                    decoder_params, opt_state, frozen_params
+                )
+                if loss is not None:
+                    epoch_losses.append(loss)
+                    count += 1
         t_train = time.time() - t0
         # ONE device fetch for the whole epoch: per-loss float() would pay
         # the ~29 ms tunnel RTT per step (1.8 s/epoch at 62 steps)
