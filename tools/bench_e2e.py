@@ -72,6 +72,8 @@ def main():
     ap.add_argument("--n", type=int, default=552)
     ap.add_argument("--root", default="/tmp/dhoct_e2e")
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--evaluate", action="store_true",
+                    help="run the reference's final per-class evaluation")
     args = ap.parse_args()
 
     from dilabhelmholtzoct_tpu.utils.cache import enable_compilation_cache
@@ -101,7 +103,7 @@ def main():
         compute_dtype="bfloat16",
         cache_embeddings=True,
         encoder_microbatch=8,
-        evaluate=False,
+        evaluate=args.evaluate,
         display_mode="none",
         shuffle=True,
         display_name="e2e-bench",
