@@ -61,7 +61,10 @@ def average_precision(scores, labels):
 
     AP = sum_k (R_k - R_{k-1}) * P_k over descending unique score thresholds.
     """
-    scores = np.asarray(scores, np.float64).reshape(-1)
+    # sort in the input precision (f32 upstream): ties and order are
+    # identical to an f64 sort of the same values, and the argsort is the
+    # dominant cost on full-split pixel counts
+    scores = np.ascontiguousarray(np.reshape(scores, -1))
     labels = np.asarray(labels).astype(bool).reshape(-1)
     n_pos = int(labels.sum())
     if n_pos == 0:
