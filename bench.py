@@ -261,11 +261,12 @@ def main():
     engine.segment(img, [10, 10, 400, 300])  # compile + encode
     t0 = time.time()
     for i in range(10):
-        engine.segment(img, [10 + i, 10, 400, 300 + i])
+        # interactive path: one fused dispatch, uint8-mask-only fetch
+        engine.segment(img, [10 + i, 10, 400, 300 + i], with_probs=False)
     per_prompt = (time.time() - t0) / 10
     engine._cache.clear()
     t0 = time.time()
-    engine.segment(img, [10, 10, 400, 300])
+    engine.segment(img, [10, 10, 400, 300], with_probs=False)
     cold = time.time() - t0
     print(
         f"[bench] serving: cold (encode+decode) {cold * 1e3:.0f} ms, "

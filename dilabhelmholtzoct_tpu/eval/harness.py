@@ -24,6 +24,7 @@ import numpy as np
 from ..models.sam import encode_image, sam_forward
 from ..ops.metrics import (
     average_precision,
+    average_precision_batched,
     binary_confusion,
     category_accuracy,
     dice,
@@ -311,10 +312,7 @@ def evaluate_metrics(params, cfg, config, dataset, *, orig_hw, num_classes=14,
                                2 * tp_v / (2 * tp_v + fp_v + fn_v), 0.0),
             }
         per_sample["Dice"] = per_sample["F1"]
-        per_sample["AP"] = [
-            average_precision(flat_probs[j], flat_gt[j])
-            for j in range(len(seg[cls]))
-        ]
+        per_sample["AP"] = average_precision_batched(flat_probs, flat_gt)
         idx = np.asarray(indexes[cls])
         cls_report = {}
         for metric in g:

@@ -30,7 +30,8 @@ def segment_event(engine: SegmentationEngine, inputs: dict):
     img = inputs["image"]
     masks = []
     for prompt_type, prompt in parse_image_prompter_points(inputs["points"]):
-        binary, _ = engine.segment(img, prompt, prompt_type)
+        binary, _ = engine.segment(img, prompt, prompt_type,
+                                   with_probs=False)
         if prompt_type == "points":
             masks.append(
                 (point_marker(img.shape[:2], prompt[0], prompt[1]), "point")

@@ -86,6 +86,52 @@ def average_precision(scores, labels):
     return float(np.sum((recall - prev_recall) * precision))
 
 
+def average_precision_batched(scores, labels, row_chunk: int = 16):
+    """Row-wise sklearn ``average_precision_score``: (N, ...) → (N,) f64.
+
+    Exactly ``[average_precision(s, l) for s, l in zip(scores, labels)]``
+    (verified in tests/test_ops.py) but one vectorized argsort/cumsum pass
+    per chunk of rows instead of a Python loop per sample — the per-sample
+    AP loop was the dominant host cost of the eval report
+    (reference's per-sample AP: training_utils.py:177-184).
+
+    Derivation: with rows sorted by descending score, AP over distinct-score
+    thresholds telescopes to (1/n_pos) * Σ_j l_j · P(end(j)) where end(j)
+    is the last index of j's tie group — so each positive contributes the
+    precision at its tie-group end, computed with a reverse fill.
+    """
+    scores = np.asarray(scores)
+    scores = scores.reshape(scores.shape[0], -1)
+    labels = np.asarray(labels).astype(bool).reshape(scores.shape[0], -1)
+    n, p = scores.shape
+    out = np.zeros(n, np.float64)
+    if p == 0:
+        return out
+    for r0 in range(0, n, row_chunk):
+        s = scores[r0:r0 + row_chunk]
+        l = labels[r0:r0 + row_chunk]
+        n_pos = l.sum(axis=1)
+        order = np.argsort(-s, axis=1)
+        s_sorted = np.take_along_axis(s, order, axis=1)
+        l_sorted = np.take_along_axis(l, order, axis=1)
+        tps = np.cumsum(l_sorted, axis=1, dtype=np.float64)
+        prec = tps / np.arange(1, p + 1, dtype=np.float64)
+        # group-end mask: position k is the last of its score-tie group
+        is_end = np.empty_like(l_sorted)
+        is_end[:, :-1] = s_sorted[:, :-1] != s_sorted[:, 1:]
+        is_end[:, -1] = True
+        # backward-fill precision from each group end onto its group:
+        # index of the nearest group end >= k, via reversed cummax of
+        # masked indices
+        idx = np.where(is_end, np.arange(p), p - 1)
+        end_idx = np.minimum.accumulate(idx[:, ::-1], axis=1)[:, ::-1]
+        prec_at_end = np.take_along_axis(prec, end_idx, axis=1)
+        ap = np.sum(l_sorted * prec_at_end, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out[r0:r0 + row_chunk] = np.where(n_pos > 0, ap / n_pos, 0.0)
+    return out
+
+
 def binary_report(pred, gt, scores=None):
     """All reference per-class metrics in one pass.
 

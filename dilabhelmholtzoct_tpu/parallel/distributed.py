@@ -27,13 +27,17 @@ def initialize(
     coordinator_address: str | None = None,
     num_processes: int | None = None,
     process_id: int | None = None,
+    explicit: bool = False,
 ) -> bool:
     """Bootstrap jax.distributed from args or env. Returns True if a
     multi-process runtime was initialized.
 
     Env fallbacks: JAX_COORDINATOR_ADDRESS, JAX_NUM_PROCESSES,
-    JAX_PROCESS_ID (also auto-detected on Cloud TPU pods where
-    jax.distributed.initialize() needs no arguments).
+    JAX_PROCESS_ID. With ``explicit=True`` (the trainer passes it when
+    ``--multihost`` was requested) and no coordinator info found, we fall
+    back to argument-free ``jax.distributed.initialize()`` — the Cloud TPU
+    pod / SLURM auto-detect path — and warn loudly if even that finds no
+    cluster, instead of silently training single-process.
     """
     global _initialized
     if _initialized:
@@ -46,8 +50,25 @@ def initialize(
     if process_id is None and "JAX_PROCESS_ID" in os.environ:
         process_id = int(os.environ["JAX_PROCESS_ID"])
     if coordinator_address is None and num_processes is None:
-        # single-process run (or TPU-pod auto-detect explicitly disabled)
-        return False
+        if not explicit:
+            # plain single-process run; nothing requested
+            return False
+        try:
+            jax.distributed.initialize()  # pod/cluster auto-detect
+            _initialized = True
+        except Exception as e:  # no detectable cluster environment
+            import warnings
+
+            warnings.warn(
+                "multihost was requested but no coordinator info was found "
+                "(set JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/"
+                f"JAX_PROCESS_ID) and cluster auto-detect failed ({e}); "
+                "continuing SINGLE-process",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            return False
+        return jax.process_count() > 1
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

@@ -497,7 +497,17 @@ def training(config: TrainConfig, logger: MultiLogger | None = None) -> dict:
     # JAX_NUM_PROCESSES are set or config.multihost requests it). Every
     # process runs the same deterministic loop and owns a contiguous row
     # slice of each global batch; process 0 owns logging/checkpoints.
-    multihost = dist.initialize() if config.multihost else False
+    if config.topological and config.multihost:
+        # _pair() calls jax.device_get on fwd_grids outputs; under
+        # multi-process DP those are globally-sharded arrays that are not
+        # fully addressable from one process, so the first topo step would
+        # raise deep inside the loop. Fail fast instead.
+        raise ValueError(
+            "topological=True is incompatible with multihost=True (host "
+            "pairing needs fully-addressable grids); run topo training "
+            "single-host (single-host multi-chip DP is fine)"
+        )
+    multihost = dist.initialize(explicit=True) if config.multihost else False
     primary = jax.process_index() == 0
 
     if logger is None and not primary:
@@ -577,6 +587,13 @@ def training(config: TrainConfig, logger: MultiLogger | None = None) -> dict:
         valid_emb = precompute_embeddings(
             params, cfg, valid_ds, dtype=dtype,
             microbatch=config.encoder_microbatch)
+        if config.multihost:
+            # Pull the cache to host ONCE: device_batch slices rows per
+            # batch with np.asarray(emb), and if emb stayed device-resident
+            # every step would pay a full device->host transfer of the
+            # whole ~GB cache (sustained transfers also wedge the tunnel).
+            train_emb = np.asarray(train_emb)
+            valid_emb = np.asarray(valid_emb)
         if not config.multihost:
             # Stage the (deterministic) component maps on device once,
             # like the embeddings: re-uploading 8 MB of int32 comp_map per
@@ -769,8 +786,12 @@ def training(config: TrainConfig, logger: MultiLogger | None = None) -> dict:
 
     params_final = _merge_params(decoder_params, frozen_params)
 
-    # final checkpoint in the reference's naming scheme + .pt interop export
-    if config.export_pt:
+    # final checkpoint in the reference's naming scheme + .pt interop export.
+    # Like the per-epoch checkpoints, only process 0 writes (concurrent
+    # writes to one file on a shared filesystem corrupt it) and only
+    # process 0 runs the final evaluation (params are replicated; N copies
+    # of the same full eval are pure waste).
+    if config.export_pt and primary:
         final_name = f"{config.display_name}_{config.time or 'final'}"
         try:
             ckpt_utils.export_reference_pt(
@@ -786,7 +807,7 @@ def training(config: TrainConfig, logger: MultiLogger | None = None) -> dict:
         "history": history,
         "checkpoint_dir": run_dir,
     }
-    if config.evaluate:
+    if config.evaluate and primary:
         from ..eval.harness import evaluate_metrics
 
         result["metrics"] = evaluate_metrics(

@@ -227,6 +227,31 @@ def test_ap_with_ties_matches_sklearn(rng):
     )
 
 
+def test_ap_batched_matches_per_sample(rng):
+    """average_precision_batched row-for-row equals the scalar AP (and
+    sklearn), including heavy score ties and all-negative rows."""
+    import sklearn.metrics as skm
+
+    from dilabhelmholtzoct_tpu.ops.metrics import average_precision_batched
+
+    n, p = 11, 700
+    scores = np.round(rng.random((n, p)), 1).astype(np.float32)  # ties
+    labels = (rng.random((n, p)) > 0.7).astype(np.uint8)
+    labels[3] = 0  # n_pos == 0 row → AP 0.0 by our convention
+    batched = average_precision_batched(scores, labels, row_chunk=4)
+    for j in range(n):
+        np.testing.assert_allclose(
+            batched[j], average_precision(scores[j], labels[j]), rtol=1e-12,
+            err_msg=f"row {j}",
+        )
+        if labels[j].any():
+            np.testing.assert_allclose(
+                batched[j],
+                skm.average_precision_score(labels[j], scores[j]),
+                rtol=1e-9, err_msg=f"row {j} vs sklearn",
+            )
+
+
 def test_mean_iou_matches_hf_semantics(rng):
     """HF evaluate mean_iou per_category_{iou,accuracy}[1] equivalence,
     computed from its documented formulas (intersect/union, intersect/label)."""
