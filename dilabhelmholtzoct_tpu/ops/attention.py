@@ -159,7 +159,7 @@ def flash_attention_relpos(
 
 def _packed_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, *refs,
                    w: int, scale: float, n_kblocks: int,
-                   return_lse: bool = False):
+                   return_lse: bool = False, k_sub: int = 1):
     """One (b, head-pair, q-block, k-block) program over NATURAL-layout qkv.
 
     Two d=64 heads are packed side-by-side into one 128-lane block (the
@@ -244,7 +244,7 @@ def _packed_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, *refs,
             [head_rows(q_a, rh_a, rw_a), head_rows(q_b, rh_b, rw_b)], axis=0
         )
 
-    if n_kblocks == 1:
+    if n_kblocks == 1 and k_sub == 1:
         # Single k step (windowed layers): no online state to carry; skip
         # the scratch roundtrips entirely.
         q_cat = build_q_cat()
@@ -262,23 +262,38 @@ def _packed_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, *refs,
 
     # One-hot selectors: bias[q, t] = rh[q, kh(t)] + rw[q, kw(t)] with
     # kh = j*rows_per_blk + t//w, kw = t % w (no unaligned lane slicing on
-    # Mosaic — expansions must be matmuls).
-    t_idx = jax.lax.broadcasted_iota(jnp.int32, (tk, w), 0)
-    c_idx = jax.lax.broadcasted_iota(jnp.int32, (tk, w), 1)
-    sel_w = (t_idx % w == c_idx).astype(q_cat.dtype)  # (TK, W)
-    th_idx = jax.lax.broadcasted_iota(jnp.int32, (tk, h_dim), 0)
-    hh_idx = jax.lax.broadcasted_iota(jnp.int32, (tk, h_dim), 1)
-    sel_h = (hh_idx == j * rows_per_blk + th_idx // w).astype(q_cat.dtype)
+    # Mosaic — expansions must be matmuls). With k_sub > 1 the fetched
+    # (TK, 128) block is split into k_sub sub-blocks whose score dots are
+    # issued before any of their softmax chains, letting the compiler
+    # overlap sub-block u's VPU (max/exp/sum) work with sub-block u+1's
+    # MXU dot, and halving the carry (alpha-rescale) passes per key.
+    tk_s = tk // k_sub
+    rows_per_sub = tk_s // w
 
-    k_cat = jnp.concatenate([qkv_block(k_ref), sel_h, sel_w], axis=1)
-    s = jax.lax.dot_general(
-        q_cat, k_cat, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (2·TQ_pad, TK) f32, scale and bias included
-
-    def pv(p):
+    def sub_score(u):
+        t_idx = jax.lax.broadcasted_iota(jnp.int32, (tk_s, w), 0)
+        c_idx = jax.lax.broadcasted_iota(jnp.int32, (tk_s, w), 1)
+        sel_w = (t_idx % w == c_idx).astype(q_cat.dtype)  # (TK_S, W)
+        th_idx = jax.lax.broadcasted_iota(jnp.int32, (tk_s, h_dim), 0)
+        hh_idx = jax.lax.broadcasted_iota(jnp.int32, (tk_s, h_dim), 1)
+        sel_h = (
+            hh_idx == (j * k_sub + u) * rows_per_sub + th_idx // w
+        ).astype(q_cat.dtype)
+        k_blk = (qkv_block(k_ref) if k_sub == 1
+                 else k_ref[0, pl.ds(u * tk_s, tk_s), :])
+        k_cat = jnp.concatenate([k_blk, sel_h, sel_w], axis=1)
         return jax.lax.dot_general(
-            p.astype(k_ref.dtype), qkv_block(v_ref),
+            q_cat, k_cat, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (2·TQ_pad, TK_S) f32, scale and bias included
+
+    s_parts = [sub_score(u) for u in range(k_sub)]
+
+    def pv(p, u=0):
+        v_blk = (qkv_block(v_ref) if k_sub == 1
+                 else v_ref[0, pl.ds(u * tk_s, tk_s), :])
+        return jax.lax.dot_general(
+            p.astype(k_ref.dtype), v_blk,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -296,7 +311,8 @@ def _packed_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, *refs,
             [lse[:tq], lse[tq_pad:tq_pad + tq]], axis=1
         )
 
-    if n_kblocks == 1:
+    if n_kblocks == 1 and k_sub == 1:
+        s = s_parts[0]
         m = jnp.max(s, axis=1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=1, keepdims=True)
@@ -305,18 +321,123 @@ def _packed_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, *refs,
             write_lse(m, l)
     else:
         m = m_ref[...]
-        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        m_new = m
+        for s in s_parts:
+            m_new = jnp.maximum(m_new, jnp.max(s, axis=1, keepdims=True))
         alpha = jnp.exp(m - m_new)
-        p = jnp.exp(s - m_new)
+        p_parts = [jnp.exp(s - m_new) for s in s_parts]
         m_ref[...] = m_new
-        l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
-        acc_ref[...] = acc_ref[...] * alpha + pv(p)
+        l_add = p_parts[0].sum(axis=1, keepdims=True)
+        for p in p_parts[1:]:
+            l_add = l_add + p.sum(axis=1, keepdims=True)
+        l_ref[...] = l_ref[...] * alpha + l_add
+        acc = acc_ref[...] * alpha
+        for u, p in enumerate(p_parts):
+            acc = acc + pv(p, u)
+        acc_ref[...] = acc
 
         @pl.when(j == n_kblocks - 1)
         def _finish():
             o_ref[0] = select_out(acc_ref[...] / l_ref[...])
             if return_lse:
                 write_lse(m_ref[...], l_ref[...])
+
+
+def _windowed_group_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, *refs,
+                           w: int, scale: float, n_win: int,
+                           return_lse: bool = False):
+    """One (window-group, head-pair) program: n_win whole windows, each a
+    single k block (N == TK == TQ), unrolled in-kernel.
+
+    Math and op order are identical to _packed_kernel's n_kblocks==1
+    branch. Rationale: the windowed layers ran as B·nW·pairs tiny
+    programs (1200 at ViT-B bs 8) whose ~1 µs launch + small-DMA overhead
+    dominated — xplane showed 1.30 ms/layer against a ~0.13 ms MXU
+    roofline (docs/ROADMAP.md "windowed flash layers ~10x off roofline").
+    Grouping n_win windows per program amortizes the launch, shares the
+    one-hot selector construction, and turns 50 KB DMAs into n_win-times
+    larger ones. The dots stay per-window (same MXU shapes): batching
+    window pairs row-wise against concatenated keys would double the
+    score area for the same useful FLOPs (break-even, noted in ROADMAP).
+    """
+    if return_lse:
+        o_ref, lse_ref = refs
+    else:
+        (o_ref,) = refs
+        lse_ref = None
+    tq = q_ref.shape[-2]
+    tk = k_ref.shape[-2]
+    h_dim = rh_ref.shape[-1]
+    dtype = q_ref.dtype
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tq, 128), 1)
+    is_a = lane < 64
+    tq_pad = -(-tq // 8) * 8
+    pad_rows = tq_pad - tq
+    sc = jnp.asarray(scale, dtype)
+
+    # selectors identical for every window (single k block ⇒ j == 0)
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (tk, w), 0)
+    c_idx = jax.lax.broadcasted_iota(jnp.int32, (tk, w), 1)
+    sel_w = (t_idx % w == c_idx).astype(dtype)  # (TK, W)
+    th_idx = jax.lax.broadcasted_iota(jnp.int32, (tk, h_dim), 0)
+    hh_idx = jax.lax.broadcasted_iota(jnp.int32, (tk, h_dim), 1)
+    sel_h = (hh_idx == th_idx // w).astype(dtype)  # (TK, H)
+
+    # Everything below is vectorized over the window axis (leading dim):
+    # per-window small-op islands left ~1.0 ms/layer on the table even with
+    # grouped programs — batched dots + one wide softmax instead.
+    q = q_ref[...]  # (G, TQ, 128)
+    zeros = jnp.zeros_like(q)
+    q_a = jnp.where(is_a, q * sc, zeros)
+    q_b = jnp.where(is_a, zeros, q * sc)
+
+    def head_rows(q_m, rh_fac, rw_fac):
+        cat = jnp.concatenate([q_m, rh_fac, rw_fac], axis=2)
+        if pad_rows:
+            cat = jnp.pad(cat, ((0, 0), (0, pad_rows), (0, 0)))
+        return cat
+
+    q_cat = jnp.concatenate(
+        [head_rows(q_a, rh_ref[:, 0], rw_ref[:, 0]),
+         head_rows(q_b, rh_ref[:, 1], rw_ref[:, 1])], axis=1
+    )  # (G, 2·TQ_pad, 128+H+W)
+    sel = jnp.broadcast_to(
+        jnp.concatenate([sel_h, sel_w], axis=1)[None],
+        (n_win, tk, h_dim + w),
+    )
+    k_cat = jnp.concatenate([k_ref[...], sel], axis=2)
+    s = jax.lax.dot_general(
+        q_cat, k_cat, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (G, 2·TQ_pad, TK) f32
+    m = jnp.max(s, axis=2, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=2, keepdims=True)
+    out = jax.lax.dot_general(
+        (p / l).astype(dtype), v_ref[...],
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (G, 2·TQ_pad, 128)
+    o_ref[...] = jnp.where(
+        is_a, out[:, :tq], out[:, tq_pad:tq_pad + tq]
+    ).astype(o_ref.dtype)
+    if return_lse:
+        lse = m + jnp.log(l)  # (G, 2·TQ_pad, 1)
+        lse_ref[...] = jnp.concatenate(
+            [lse[:, :tq], lse[:, tq_pad:tq_pad + tq]], axis=2
+        )[:, None]
+
+
+def _window_group(b: int) -> int:
+    """Windows per program: SAM's 64/14 grid gives 25 windows per image, so
+    b (= batch·25) is divisible by 5. Capped at 5: the unrolled loop's
+    per-window temporaries are stack-allocated and G=25 blew the 16 MB
+    scoped-VMEM limit (19.5 MB) on v5e."""
+    for g in (5, 4, 2):
+        if b % g == 0:
+            return g
+    return 1
 
 
 def _dim_semantics():
@@ -332,15 +453,26 @@ def _dim_semantics():
         )
 
 
+def _group_dim_semantics():
+    try:
+        return pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        )
+    except AttributeError:  # older pallas API name
+        return pltpu.TPUCompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("hw", "num_heads", "tq", "tk", "interpret",
-                     "return_lse"),
+                     "return_lse", "k_sub"),
 )
 def flash_attention_packed(qkv, rel_h, rel_w, *, hw, num_heads: int,
                            tq: int = 512, tk: int = 1024,
                            interpret: bool = False,
-                           return_lse: bool = False):
+                           return_lse: bool = False, k_sub: int = 1):
     """Transpose-free streaming attention over the fused qkv projection.
 
     qkv:   (B, N, 3C) — the qkv linear's raw output, untouched. Feature
@@ -369,9 +501,62 @@ def flash_attention_packed(qkv, rel_h, rel_w, *, hw, num_heads: int,
     tq_pad = -(-tq // 8) * 8
     n_kblocks = n // tk
 
+    if n_kblocks == 1 and n == tq and _window_group(b) > 1:
+        # windowed layers: whole windows per program, grouped (see
+        # _windowed_group_kernel)
+        g = _window_group(b)
+        grid = (b // g, pairs)
+        kernel = functools.partial(_windowed_group_kernel, w=w, scale=scale,
+                                   n_win=g, return_lse=return_lse)
+        out_specs = pl.BlockSpec((g, tq, 128), lambda bb, gg: (bb, 0, gg),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((b, n, c), qkv.dtype)
+        if return_lse:
+            out_specs = [
+                out_specs,
+                pl.BlockSpec((g, 1, tq, 2), lambda bb, gg: (bb, gg, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+            out_shape = [
+                out_shape,
+                jax.ShapeDtypeStruct((b, pairs, n, 2), jnp.float32),
+            ]
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((g, tq, 128), lambda bb, gg: (bb, 0, gg),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((g, tk, 128),
+                             lambda bb, gg: (bb, 0, pairs + gg),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((g, tk, 128),
+                             lambda bb, gg: (bb, 0, 2 * pairs + gg),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((g, 2, tq, h), lambda bb, gg: (bb, gg, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((g, 2, tq, w), lambda bb, gg: (bb, gg, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            compiler_params=_group_dim_semantics(),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * 3 * 2 * b * pairs * n * n * 128,
+                bytes_accessed=(
+                    b * n * (3 * c + num_heads * (h + w))
+                    * qkv.dtype.itemsize * 2
+                ),
+                transcendentals=b * num_heads * n * n,
+            ),
+            interpret=interpret,
+        )(qkv, qkv, qkv, rel_h, rel_w)
+
+    assert tk % (k_sub * w) == 0, (tk, k_sub, w)
     grid = (b, pairs, n // tq, n_kblocks)
     kernel = functools.partial(_packed_kernel, w=w, scale=scale,
-                               n_kblocks=n_kblocks, return_lse=return_lse)
+                               n_kblocks=n_kblocks, return_lse=return_lse,
+                               k_sub=k_sub)
     out_specs = pl.BlockSpec((1, tq, 128), lambda bb, g, i, j: (bb, i, g),
                              memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((b, n, c), qkv.dtype)
@@ -740,15 +925,28 @@ def _flash_packed_bwd(qkv, rel_h, rel_w, g_out, lse, dvec, *, hw,
     return dqkv, drh, drw
 
 
+# Global-layer tile/unroll config, overridable for in-context experiments
+# (tools/profile_device.py --tiles); defaults are the measured optimum.
+PACKED_TILES = {"tq": 512, "tk": 1024, "k_sub": 1}
+
+
+def set_packed_tiles(tq: int = 512, tk: int = 1024, k_sub: int = 1):
+    PACKED_TILES.update(tq=tq, tk=tk, k_sub=k_sub)
+
+
 _PACKED_VJP_CACHE: dict = {}
 
 
-def packed_attention_vjp(*, hw, num_heads: int, tq: int = 512,
-                         tk: int = 1024, interpret: bool = False):
+def packed_attention_vjp(*, hw, num_heads: int, tq: int | None = None,
+                         tk: int | None = None, interpret: bool = False,
+                         k_sub: int | None = None):
     """Differentiable packed flash attention (custom VJP), cached per
     static config. Forward emits logsumexp rows; backward recomputes
     scores blockwise (flash-style, O(N·d) memory)."""
-    key = (hw, num_heads, tq, tk, interpret)
+    tq = PACKED_TILES["tq"] if tq is None else tq
+    tk = PACKED_TILES["tk"] if tk is None else tk
+    k_sub = PACKED_TILES["k_sub"] if k_sub is None else k_sub
+    key = (hw, num_heads, tq, tk, interpret, k_sub)
     if key in _PACKED_VJP_CACHE:
         return _PACKED_VJP_CACHE[key]
 
@@ -757,11 +955,11 @@ def packed_attention_vjp(*, hw, num_heads: int, tq: int = 512,
 
     @jax.custom_vjp
     def f(qkv, rel_h, rel_w):
-        return flash_attention_packed(qkv, rel_h, rel_w, **kw)
+        return flash_attention_packed(qkv, rel_h, rel_w, k_sub=k_sub, **kw)
 
     def f_fwd(qkv, rel_h, rel_w):
         out, lse = flash_attention_packed(
-            qkv, rel_h, rel_w, return_lse=True, **kw)
+            qkv, rel_h, rel_w, return_lse=True, k_sub=k_sub, **kw)
         return out, (qkv, rel_h, rel_w, out, lse)
 
     def f_bwd(res, g_out):

@@ -113,6 +113,52 @@ def test_flash_packed_matches_reference(rng, nh, tq, tk):
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("b", [50, 4, 3])
+def test_flash_packed_windowed_group_matches_reference(rng, b):
+    """Window-group path (whole 14x14=196-token windows per program,
+    grouped 25/2/1 per b-divisibility) == reference math, including the
+    non-multiple-of-8 row padding and the lse output used by the VJP."""
+    from dilabhelmholtzoct_tpu.ops.attention import flash_attention_packed
+
+    nh, d, h, w = 4, 64, 14, 14
+    n, c = h * w, nh * d
+    qkv = (rng.normal(size=(b, n, 3 * c)) * 0.5).astype(np.float32)
+    rel_h = (rng.normal(size=(b, nh, n, h)) * 0.3).astype(np.float32)
+    rel_w = (rng.normal(size=(b, nh, n, w)) * 0.3).astype(np.float32)
+
+    got, lse = flash_attention_packed(
+        jnp.asarray(qkv), jnp.asarray(rel_h), jnp.asarray(rel_w),
+        hw=(h, w), num_heads=nh, interpret=True, return_lse=True,
+    )
+
+    split = qkv.reshape(b, n, 3, nh, d)
+    q = split[:, :, 0].transpose(0, 2, 1, 3).reshape(b * nh, n, d)
+    k = split[:, :, 1].transpose(0, 2, 1, 3).reshape(b * nh, n, d)
+    v = split[:, :, 2].transpose(0, 2, 1, 3).reshape(b * nh, n, d)
+    rh = rel_h.reshape(b * nh, n, h)
+    rw = rel_w.reshape(b * nh, n, w)
+    want = attention_reference(*map(jnp.asarray, (q, k, v, rh, rw)), hw=(h, w))
+    want = (
+        np.asarray(want).reshape(b, nh, n, d).transpose(0, 2, 1, 3)
+        .reshape(b, n, c)
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=1e-4)
+
+    # lse parity vs explicit logsumexp of the reference scores
+    logits = np.einsum(
+        "bqd,bkd->bqk", np.asarray(q, np.float64) * d**-0.5,
+        np.asarray(k, np.float64),
+    ) + (rh[:, :, :, None] + rw[:, :, None, :]).reshape(b * nh, n, n)
+    want_lse = np.log(np.exp(
+        logits - logits.max(-1, keepdims=True)
+    ).sum(-1)) + logits.max(-1)
+    got_lse = (
+        np.asarray(lse).transpose(0, 1, 3, 2)  # (b, pairs, 2, n)
+        .reshape(b * nh, n)
+    )
+    np.testing.assert_allclose(got_lse, want_lse, atol=1e-4, rtol=1e-5)
+
+
 def test_encoder_packed_path_matches_xla(rng):
     """encode_image routes through the packed kernel when head_dim==64."""
     import jax

@@ -94,7 +94,219 @@ def _torch_step(model, opt, img, boxes, gt):
     return float(loss.detach())
 
 
-def test_train_step_parity():
+def test_train_loss_curve_parity_20_steps():
+    """N-step loss-CURVE parity (round-2 VERDICT #2): 22 consecutive
+    reference-equivalent steps through both stacks from identical converted
+    weights. Divergence compounds through Adam moments, so the tolerance
+    widens with step index; the curve staying locked pins the whole
+    gradient/update chain, not just one step (training_utils.py:27-80)."""
+    from dilabhelmholtzoct_tpu.train.trainer import (
+        TrainConfig,
+        _split_params,
+        make_optimizer,
+        make_train_step,
+    )
+
+    rng = np.random.default_rng(11)
+    img, comp_map, boxes, gt = _make_batch(rng)
+
+    model = _randomized_hf_model(seed=7)
+    cfg = _our_tiny()
+    model.train()
+    for name, p in model.named_parameters():
+        if name.startswith(("vision_encoder", "prompt_encoder")):
+            p.requires_grad_(False)
+
+    warm = torch.optim.Adam(model.mask_decoder.parameters(), lr=1e-2)
+    for _ in range(30):
+        _torch_step(model, warm, img, boxes, gt)
+
+    params = from_hf_model(model, cfg)
+    opt_t = torch.optim.Adam(model.mask_decoder.parameters(), lr=LR)
+    n_steps = 22
+    t_curve = [_torch_step(model, opt_t, img, boxes, gt)
+               for _ in range(n_steps)]
+
+    config = TrainConfig(
+        compute_dtype="float32", cache_embeddings=False,
+        batch_size=2, encoder_microbatch=2, learning_rate=LR,
+    )
+    decoder_params, frozen_params = _split_params(params)
+    optimizer = make_optimizer(config)
+    opt_state = optimizer.init(decoder_params)
+    step = make_train_step(cfg, config, optimizer, ORIG_HW,
+                           from_embeddings=False)
+    batch = {
+        "image": jnp.asarray(img),
+        "prompts": jnp.asarray(boxes),
+        "comp_map": jnp.asarray(comp_map),
+        "channel_mask": jnp.ones(boxes.shape[:2], jnp.float32),
+    }
+    our_curve = []
+    for _ in range(n_steps):
+        decoder_params, opt_state, loss = step(
+            decoder_params, opt_state, frozen_params, batch
+        )
+        our_curve.append(float(loss))
+
+    for i, (a, b) in enumerate(zip(our_curve, t_curve)):
+        tol = 2e-4 * (1 + i)  # f32 drift compounds through Adam moments
+        np.testing.assert_allclose(
+            a, b, rtol=tol, atol=tol,
+            err_msg=f"step {i}: ours={our_curve} torch={t_curve}",
+        )
+    # and the curve actually went somewhere (both trained)
+    assert our_curve[-1] < our_curve[0]
+
+
+@pytest.mark.slow
+def test_finetune_dice_parity():
+    """Convergence-level accuracy parity (round-2 VERDICT #2): a full
+    fine-tune on a synthetic blob dataset through BOTH stacks — our jitted
+    trainer step and the torch replica of the reference loop
+    (training_utils.py:27-80) — from identical converted weights, identical
+    fixed batch order, then per-class Dice of the final models computed the
+    same way on both sides (sigmoid > 0.5, per-component class pooling —
+    evaluate_metrics semantics, training_utils.py:126-156). Prompts are the
+    exact component boxes (no jitter) so the comparison isolates
+    model/loss/optimizer parity; sampler parity is pinned separately in
+    tests/test_data.py."""
+    from dilabhelmholtzoct_tpu.models.sam import sam_forward
+    from dilabhelmholtzoct_tpu.ops.metrics import binary_confusion, dice
+    from dilabhelmholtzoct_tpu.ops.postprocess import postprocess_masks
+    from dilabhelmholtzoct_tpu.ops.preprocess import (
+        preprocess_image,
+        rescale_boxes,
+    )
+    from dilabhelmholtzoct_tpu.train.trainer import (
+        TrainConfig,
+        _merge_params,
+        _split_params,
+        make_optimizer,
+        make_train_step,
+    )
+
+    rng = np.random.default_rng(21)
+    n_img, n_comp = 6, 3
+    data = [_make_batch(rng, b=1, n_comp=n_comp) for _ in range(n_img)]
+    imgs = np.concatenate([d[0] for d in data])
+    comp_maps = np.concatenate([d[1] for d in data])
+    boxes = np.concatenate([d[2] for d in data])
+    gts = np.concatenate([d[3] for d in data])  # (N, C, H, W)
+
+    model = _randomized_hf_model(seed=13)
+    cfg = _our_tiny()
+    model.train()
+    for name, p in model.named_parameters():
+        if name.startswith(("vision_encoder", "prompt_encoder")):
+            p.requires_grad_(False)
+
+    order = [(0, 2), (2, 4), (4, 6)]  # fixed bs-2 batch order
+    # Warm PAST the all-positive plateau (measured: this task sits at
+    # posfrac 1.0 / Dice 0.10 until ~epoch 55-60, then converges smoothly
+    # 0.35 → 0.77 by epoch 105) so the measured fine-tune below runs in
+    # the well-conditioned converging regime, not on the cliff.
+    warm = torch.optim.Adam(model.mask_decoder.parameters(), lr=1e-2)
+    for _ in range(70):
+        for lo, hi in order:
+            _torch_step(model, warm, imgs[lo:hi], boxes[lo:hi], gts[lo:hi])
+
+    params = from_hf_model(model, cfg)  # shared starting point
+    epochs = 20
+
+    # ---- torch fine-tune -------------------------------------------------
+    opt_t = torch.optim.Adam(model.mask_decoder.parameters(), lr=LR)
+    for _ in range(epochs):
+        for lo, hi in order:
+            _torch_step(model, opt_t, imgs[lo:hi], boxes[lo:hi], gts[lo:hi])
+
+    def torch_probs():
+        import torch.nn.functional as F
+
+        model.eval()
+        with torch.no_grad():
+            out = model(
+                pixel_values=_torch_preprocess(imgs),
+                input_boxes=torch.tensor(boxes, dtype=torch.float32),
+                multimask_output=False,
+            )
+            m = F.interpolate(out.pred_masks.squeeze(2), ORIG_HW,
+                              mode="bilinear", align_corners=False)
+            m = F.interpolate(m, ORIG_HW, mode="bilinear",
+                              align_corners=False)
+            return torch.sigmoid(m).numpy()
+
+    # ---- our fine-tune (same converted start, same batches) --------------
+    config = TrainConfig(
+        compute_dtype="float32", cache_embeddings=False,
+        batch_size=2, encoder_microbatch=2, learning_rate=LR,
+    )
+    decoder_params, frozen_params = _split_params(params)
+    optimizer = make_optimizer(config)
+    opt_state = optimizer.init(decoder_params)
+    step = make_train_step(cfg, config, optimizer, ORIG_HW,
+                           from_embeddings=False)
+    for _ in range(epochs):
+        for lo, hi in order:
+            batch = {
+                "image": jnp.asarray(imgs[lo:hi]),
+                "prompts": jnp.asarray(boxes[lo:hi]),
+                "comp_map": jnp.asarray(comp_maps[lo:hi]),
+                "channel_mask": jnp.ones((hi - lo, n_comp), jnp.float32),
+            }
+            decoder_params, opt_state, _ = step(
+                decoder_params, opt_state, frozen_params, batch
+            )
+
+    params_start = _merge_params(
+        jax.tree_util.tree_map(np.asarray, _split_params(params)[0]),
+        frozen_params,
+    )
+    params_final = _merge_params(
+        jax.tree_util.tree_map(np.asarray, decoder_params), frozen_params
+    )
+
+    @jax.jit
+    def our_probs_fn(p, img, bx):
+        pix, _ = preprocess_image(img, target_size=cfg.vision.image_size)
+        out = sam_forward(
+            p, cfg, pixel_values=pix,
+            boxes=rescale_boxes(bx, ORIG_HW, cfg.vision.image_size),
+            multimask_output=False,
+        )
+        m = postprocess_masks(out["pred_masks"][:, :, 0], ORIG_HW,
+                              model_size=cfg.vision.image_size)
+        return jax.nn.sigmoid(m)
+
+    ours_p = np.asarray(
+        our_probs_fn(params_final, jnp.asarray(imgs), jnp.asarray(boxes))
+    )
+    start_p = np.asarray(
+        our_probs_fn(params_start, jnp.asarray(imgs), jnp.asarray(boxes))
+    )
+    torch_p = torch_probs()
+
+    # per-class Dice, predictions pooled over the dataset per class
+    report, start = {}, {}
+    for c in range(n_comp):
+        d_o = dice(*binary_confusion(ours_p[:, c] > 0.5, gts[:, c] > 0.5))
+        d_t = dice(*binary_confusion(torch_p[:, c] > 0.5, gts[:, c] > 0.5))
+        d_s = dice(*binary_confusion(start_p[:, c] > 0.5, gts[:, c] > 0.5))
+        report[c] = (d_o, d_t)
+        start[c] = d_s
+        np.testing.assert_allclose(
+            d_o, d_t, atol=0.02,
+            err_msg=f"class {c} Dice diverged: {report}",
+        )
+    print(f"[dice-parity] per-class (ours, torch): {report}; start {start}")
+    # the fine-tune moved the model meaningfully, not a trivial no-op match
+    # (absolute Dice is capped by the frozen RANDOM tiny encoder — only a
+    # real pretrained backbone gives high Dice; parity is the claim here,
+    # measured values are recorded in BASELINE.md)
+    gain = (np.mean([v[0] for v in report.values()])
+            - np.mean(list(start.values())))
+    assert gain > 0.03, (report, start)
+    assert np.mean([v[0] for v in report.values()]) > 0.5, report
     from dilabhelmholtzoct_tpu.train.trainer import (
         TrainConfig,
         _split_params,

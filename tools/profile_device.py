@@ -84,11 +84,18 @@ def report(totals: dict[str, float], top: int = 25):
         print(f"  {ms:8.3f} ms  {name[:110]}")
 
 
-def profile_encoder(batch: int, runs: int, dtype: str, top: int = 25):
+def profile_encoder(batch: int, runs: int, dtype: str, top: int = 25,
+                    tiles: str = ""):
     import jax
     import jax.numpy as jnp
     from dilabhelmholtzoct_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
+    if tiles:
+        from dilabhelmholtzoct_tpu.ops.attention import set_packed_tiles
+
+        tq, tk, k_sub = map(int, tiles.split(","))
+        set_packed_tiles(tq, tk, k_sub)
+        print(f"[tiles] tq={tq} tk={tk} k_sub={k_sub}")
     from dilabhelmholtzoct_tpu.models import sam_vit_base, init_params
     from dilabhelmholtzoct_tpu.models.sam import encode_image
 
@@ -188,9 +195,11 @@ def main():
     ap.add_argument("--runs", type=int, default=4)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--tiles", default="", help="tq,tk,k_sub override")
     args = ap.parse_args()
     if args.target == "encoder":
-        profile_encoder(args.batch, args.runs, args.dtype, args.top)
+        profile_encoder(args.batch, args.runs, args.dtype, args.top,
+                        args.tiles)
     elif args.target == "step":
         profile_step(args.batch, args.runs, cached=True)
     else:
