@@ -6,11 +6,16 @@ reference-equivalent step — preprocess + frozen ViT-B encoder forward +
 decoder forward/backward + Adam — on synthetic 496x512 OCT-geometry data.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "img/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "img/s", "vs_baseline": N, ...}
 
-vs_baseline divides by the A100 PyTorch reference estimate recorded in
-BASELINE.md (the reference publishes no numbers; the estimate and its
-basis are documented there).
+vs_baseline divides by a MEASURED comparator: this repo's round-1
+implementation of the identical workload on the identical chip
+(25.4 img/s, BASELINE.md round-1 table) — round-2 VERDICT weak #1: the
+A100 PyTorch figure was a guess that was calcifying into a measured-
+looking number. The A100 estimate is still reported, quarantined, as
+"vs_a100_estimate" with an explicit "estimated" basis field (the
+reference publishes no numbers and no CUDA hardware exists here to
+measure it).
 
 Extra diagnostic lines (cached-embedding mode, inference latency) go to
 stderr so stdout stays a single JSON line.
@@ -24,8 +29,12 @@ import time
 
 import numpy as np
 
+# MEASURED round-1 throughput of this repo's own implementation of the
+# identical full step on the identical v5e chip (BASELINE.md round-1).
+ROUND1_MEASURED_IMG_S = 25.4
 # Estimated single-A100 PyTorch throughput for the reference's fine-tune
 # step (see BASELINE.md "Measured baselines"); reference publishes none.
+# UNMEASURED — kept only as a quarantined context figure.
 A100_REFERENCE_IMG_S = 15.0
 
 BATCH = 8
@@ -278,7 +287,12 @@ def main():
         "metric": "vitb_decoder_finetune_throughput",
         "value": round(img_s, 2),
         "unit": "img/s",
-        "vs_baseline": round(img_s / A100_REFERENCE_IMG_S, 2),
+        # measured comparator: round-1 of this repo, same chip, same step
+        "vs_baseline": round(img_s / ROUND1_MEASURED_IMG_S, 2),
+        "baseline_basis": "round1_measured_v5e_25.4_img_s",
+        # quarantined UNMEASURED context figure (see BASELINE.md)
+        "vs_a100_estimate": round(img_s / A100_REFERENCE_IMG_S, 2),
+        "a100_basis": "estimated_unmeasured",
     }))
 
 
