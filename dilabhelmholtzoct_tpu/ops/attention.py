@@ -319,21 +319,42 @@ def _packed_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, *refs,
         o_ref[0] = select_out(pv(p) / l)
         if return_lse:
             write_lse(m, l)
-    else:
+    elif k_sub == 1:
+        s = s_parts[0]
         m = m_ref[...]
-        m_new = m
-        for s in s_parts:
-            m_new = jnp.maximum(m_new, jnp.max(s, axis=1, keepdims=True))
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
         alpha = jnp.exp(m - m_new)
-        p_parts = [jnp.exp(s - m_new) for s in s_parts]
+        p = jnp.exp(s - m_new)
         m_ref[...] = m_new
-        l_add = p_parts[0].sum(axis=1, keepdims=True)
-        for p in p_parts[1:]:
-            l_add = l_add + p.sum(axis=1, keepdims=True)
-        l_ref[...] = l_ref[...] * alpha + l_add
-        acc = acc_ref[...] * alpha
-        for u, p in enumerate(p_parts):
-            acc = acc + pv(p, u)
+        l_ref[...] = l_ref[...] * alpha + p.sum(axis=1, keepdims=True)
+        acc_ref[...] = acc_ref[...] * alpha + pv(p, 0)
+
+        @pl.when(j == n_kblocks - 1)
+        def _finish():
+            o_ref[0] = select_out(acc_ref[...] / l_ref[...])
+            if return_lse:
+                write_lse(m_ref[...], l_ref[...])
+    else:
+        # k_sub > 1: per-sub-block SEQUENTIAL online-softmax updates with
+        # every sub-score dot issued up front. Rationale: the round-2
+        # "no gain" k_sub experiment combined the running max over ALL
+        # sub-blocks before any exp — that ordering makes every VPU op
+        # depend on every dot, so nothing could overlap and the negative
+        # result said nothing about MXU/VPU pipelining. Here sub-block u's
+        # max/exp/sum chain depends only on dot u; if the MXU drains
+        # asynchronously, u's VPU chain overlaps dot u+1's execution.
+        m = m_ref[...]
+        l = l_ref[...]
+        acc = acc_ref[...]
+        for u, s in enumerate(s_parts):
+            m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp(m - m_new)
+            p = jnp.exp(s - m_new)
+            l = l * alpha + p.sum(axis=1, keepdims=True)
+            acc = acc * alpha + pv(p, u)
+            m = m_new
+        m_ref[...] = m
+        l_ref[...] = l
         acc_ref[...] = acc
 
         @pl.when(j == n_kblocks - 1)

@@ -113,6 +113,37 @@ def test_flash_packed_matches_reference(rng, nh, tq, tk):
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("k_sub,tk", [(2, 16), (4, 32)])
+def test_flash_packed_k_sub_matches_reference(rng, k_sub, tk):
+    """k_sub>1 (per-sub-block sequential online softmax — the MXU/VPU
+    pipelining path) == reference math. Guards the restructure that
+    replaced the round-2 combined-max variant."""
+    from dilabhelmholtzoct_tpu.ops.attention import flash_attention_packed
+
+    nh, d, h, w = 2, 64, 8, 8
+    n, c = h * w, nh * d
+    qkv = rng.normal(size=(b := 2, n, 3 * c)).astype(np.float32)
+    rel_h = (rng.normal(size=(b, nh, n, h)) * 0.3).astype(np.float32)
+    rel_w = (rng.normal(size=(b, nh, n, w)) * 0.3).astype(np.float32)
+
+    got = flash_attention_packed(
+        jnp.asarray(qkv), jnp.asarray(rel_h), jnp.asarray(rel_w),
+        hw=(h, w), num_heads=nh, tq=16, tk=tk, k_sub=k_sub, interpret=True,
+    )
+    split = qkv.reshape(b, n, 3, nh, d)
+    q = split[:, :, 0].transpose(0, 2, 1, 3).reshape(b * nh, n, d)
+    k = split[:, :, 1].transpose(0, 2, 1, 3).reshape(b * nh, n, d)
+    v = split[:, :, 2].transpose(0, 2, 1, 3).reshape(b * nh, n, d)
+    rh = rel_h.reshape(b * nh, n, h)
+    rw = rel_w.reshape(b * nh, n, w)
+    want = attention_reference(*map(jnp.asarray, (q, k, v, rh, rw)), hw=(h, w))
+    want = (
+        np.asarray(want).reshape(b, nh, n, d).transpose(0, 2, 1, 3)
+        .reshape(b, n, c)
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=1e-4)
+
+
 @pytest.mark.parametrize("b", [50, 4, 3])
 def test_flash_packed_windowed_group_matches_reference(rng, b):
     """Window-group path (whole 14x14=196-token windows per program,

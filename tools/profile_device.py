@@ -124,7 +124,7 @@ def profile_encoder(batch: int, runs: int, dtype: str, top: int = 25,
           f"-> {batch / (total / 1e3):.1f} img/s (encoder only)")
 
 
-def profile_step(batch: int, runs: int, cached: bool):
+def profile_step(batch: int, runs: int, cached: bool, top: int = 40):
     """Cached-embedding (or full) decoder fine-tune train step, bs=batch."""
     import numpy as np
     import jax
@@ -181,7 +181,7 @@ def profile_step(batch: int, runs: int, cached: bool):
     jax.block_until_ready((dec, opt, loss))
     jax.profiler.stop_trace()
     totals = collect_xplane(logdir, runs)
-    report(totals, top=40)
+    report(totals, top=top)
     total = sum(totals.values())
     tag = "cached" if cached else "full"
     print(f"\n{tag} step B={batch}: {total:.1f} ms device "
@@ -201,9 +201,9 @@ def main():
         profile_encoder(args.batch, args.runs, args.dtype, args.top,
                         args.tiles)
     elif args.target == "step":
-        profile_step(args.batch, args.runs, cached=True)
+        profile_step(args.batch, args.runs, cached=True, top=args.top)
     else:
-        profile_step(args.batch, args.runs, cached=False)
+        profile_step(args.batch, args.runs, cached=False, top=args.top)
 
 
 if __name__ == "__main__":
