@@ -153,6 +153,26 @@ def _use_flash(n_tokens: int) -> bool:
     return n_tokens >= _FLASH_MIN_TOKENS and jax.default_backend() != "cpu"
 
 
+_FUSED_UPSCALER = "auto"
+
+
+def set_fused_upscaler(mode: str):
+    """mode ∈ {'auto', 'on', 'off', 'interpret'} (interpret: debug on CPU)."""
+    global _FUSED_UPSCALER
+    assert mode in ("auto", "on", "off", "interpret")
+    _FUSED_UPSCALER = mode
+
+
+def _use_fused_upscaler(n_pixels: int) -> bool:
+    if _FUSED_UPSCALER == "off":
+        return False
+    if _FUSED_UPSCALER in ("on", "interpret"):
+        return True
+    # auto: TPU only, and only when the grid is big enough for the row
+    # blocks to amortize (the XLA einsum path is fine at toy sizes)
+    return n_pixels >= 1024 and jax.default_backend() != "cpu"
+
+
 def vision_attention(x, p, cfg: VisionConfig):
     """Multi-head self-attention with optional decomposed rel-pos bias.
 
@@ -626,7 +646,20 @@ def decode_masks(
     n_out = hyper_sl.shape[1]
 
     up = keys.reshape(b * pb, g, g, c)
-    if blocked:
+    if blocked and _use_fused_upscaler(g * g):
+        # Fused Pallas chain (ops/upscaler.py): convT→LN→GELU→convT→GELU→
+        # ⟨·,hyper⟩ per VMEM row block; the (BP, 4G, 4G, C/8) intermediate
+        # (268 MB at training geometry) never reaches HBM, forward or
+        # backward. Output lanes (d, e, f, g) == the blocked trailing axes.
+        from ..ops.upscaler import upscale_hyper_masks
+
+        mf = upscale_hyper_masks(
+            up.reshape(b * pb, g * g, c), p["upscale"], hyper_sl,
+            interpret=(_FUSED_UPSCALER == "interpret"),
+        )  # (BP, G·G, n_out, 16) f32
+        mf = mf.reshape(b, pb, g, g, n_out, 2, 2, 2, 2)
+        masks = jnp.moveaxis(mf, 4, 2)  # (b, pb, n_out, g, g, 2, 2, 2, 2)
+    elif blocked:
         # Two-level blocked upscale: every step below is the axis order the
         # MXU dot naturally emits (lhs-free then rhs-free), so XLA inserts
         # no layout copies anywhere in the chain.

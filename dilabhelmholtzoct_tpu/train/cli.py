@@ -100,6 +100,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--trainable", type=str, default="decoder",
                    choices=["decoder", "all"],
                    help="'all' = full fine-tune incl. encoder (remat)")
+    p.add_argument("--topo_pipeline", type=_str2bool, default=True,
+                   help="overlap host persistence-pairing with device "
+                        "compute (one-step-stale pairing; convergence-"
+                        "equivalent per BASELINE.md 'topo_pipeline "
+                        "study'). false = synchronous two-phase, exact "
+                        "reference step ordering")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--resume", type=_str2bool, default=False)
     p.add_argument("--multihost", type=_str2bool, default=False,
@@ -138,6 +144,7 @@ def config_from_args(args) -> TrainConfig:
         pseudocolor=(None if args.pseudocolor == "grayscale"
                      else args.pseudocolor),
         topological=args.top,
+        topo_pipeline=args.topo_pipeline,
         evaluate=args.evaluate,
         display_name=display_name,
         time=t,

@@ -99,10 +99,18 @@ class TrainConfig:
     topo_lamda: float = 0.1
     topo_feat_d: int = 1
     topo_interp: int = 50
-    topo_pipeline: bool = False  # overlap host persistence-pairing with
+    topo_pipeline: bool = True  # overlap host persistence-pairing with
     #   device compute via a one-batch delay (pairing one param-step
-    #   stale; loss/grad values still use current params). Off = exact
-    #   reference semantics.
+    #   stale; loss/grad values still use current params; first step
+    #   exact). False = synchronous two-phase, exact reference step
+    #   ordering. Default flipped to True in round 3 after two
+    #   convergence studies (tools/topo_pipeline_study.py; BASELINE.md
+    #   "topo_pipeline study") showed sync-vs-pipelined loss curves are
+    #   statistically indistinguishable (branch deltas ~1e-3 for ~10
+    #   epochs from a shared warm start, final valid 2.03±0.12 vs
+    #   2.05±0.14, identical final Dice; when step-to-step pairings
+    #   stabilize the two modes are bit-identical) while pipelined is
+    #   ~1.25x faster per step (167 vs 206 ms, BASELINE.md config 4).
     export_pt: bool = False  # write reference-format .pt (imports torch)
     encoder_microbatch: int = 1  # images encoded per sequential chunk
     data_transforms: tuple[str, ...] = ()  # augment ops (train split only)

@@ -152,6 +152,7 @@ def test_topo_pipeline_first_step_exact_and_trains(tmp_path, dataset_dir):
         tmp_path, dataset_dir, epochs=1, topological=True, topo_interp=16,
         display_name="tsync",
     )
+    sync.topo_pipeline = False  # default flipped to True in round 3
     r_sync = training(sync)
     piped = _base_config(
         tmp_path, dataset_dir, epochs=1, topological=True, topo_interp=16,
