@@ -549,10 +549,89 @@ def two_way_block(queries, keys, query_pe, key_pe, p, cfg: DecoderConfig, first)
     return queries, keys
 
 
-def two_way_transformer(point_emb, image_emb, image_pe, p, cfg: DecoderConfig):
-    """point_emb: (BP, T, C); image_emb/image_pe: (BP, HW, C)."""
+def _two_way_block_first_shared(queries, keys_img, query_pe, key_pe, p,
+                                cfg: DecoderConfig, pb: int):
+    """Layer-1 variant with the image side still per-IMAGE.
+
+    Until the first image→token residual lands, the image-side tensor is
+    identical across a given image's pb prompts, so its k/v projections
+    (token→image) and q projection (image→token) run on (B, HW, C)
+    instead of (B·pb, HW, C) — 8x fewer rows at the training geometry.
+    Linear maps commute with the repeat, so the math is bit-equivalent to
+    repeating first (the attention dots themselves are per-pair either
+    way). The per-pair image tensor first materializes as this block's
+    i2t residual — exactly where it genuinely diverges per prompt.
+    """
+    eps = cfg.layer_norm_eps
+    nh = cfg.num_heads
+    b, hw, c = keys_img.shape
+    bp, t, _ = queries.shape
+
+    queries = _decoder_attention(
+        queries, queries, queries, p["self_attn"], nh
+    )
+    queries = layer_norm(queries, p["ln1"], eps)
+
+    # token→image cross-attention, shared k/v projections
+    q = queries + query_pe  # (BP, T, C)
+    k_img = keys_img + key_pe  # (B, HW, C)
+    pp = p["cross_t2i"]
+    qp = linear(q, pp["q"]).reshape(b, pb * t, -1)
+    kp = linear(k_img, pp["k"])
+    vp = linear(keys_img, pp["v"])
+    internal = qp.shape[-1]
+    hd = internal // nh
+    qh = qp.reshape(b, pb * t, nh, hd).transpose(0, 2, 1, 3)
+    kh = kp.reshape(b, hw, nh, hd).transpose(0, 2, 1, 3)
+    vh = vp.reshape(b, hw, nh, hd).transpose(0, 2, 1, 3)
+    logits = jnp.einsum(
+        "bnqd,bnkd->bnqk", qh * (hd**-0.5), kh,
+        preferred_element_type=jnp.float32,
+    )
+    attn = _softmax_f32(logits).astype(vh.dtype)
+    out = jnp.einsum("bnqk,bnkd->bnqd", attn, vh)
+    out = out.transpose(0, 2, 1, 3).reshape(bp, t, internal)
+    queries = queries + linear(out, pp["out"])
+    queries = layer_norm(queries, p["ln2"], eps)
+
+    mlp = linear(jax.nn.relu(linear(queries, p["mlp1"])), p["mlp2"])
+    queries = layer_norm(queries + mlp, p["ln3"], eps)
+
+    # image→token cross-attention, shared q projection
+    pp = p["cross_i2t"]
+    tok = queries + query_pe
+    qp = linear(k_img, pp["q"])  # (B, HW, internal)
+    kp = linear(tok, pp["k"])
+    vp = linear(queries, pp["v"])
+    qh = qp.reshape(b, hw, nh, hd).transpose(0, 2, 1, 3)  # (B, nh, HW, hd)
+    kh = kp.reshape(b, pb, t, nh, hd).transpose(0, 1, 3, 2, 4)
+    vh = vp.reshape(b, pb, t, nh, hd).transpose(0, 1, 3, 2, 4)
+    logits = jnp.einsum(
+        "bnqd,bpnkd->bpnqk", qh * (hd**-0.5), kh,
+        preferred_element_type=jnp.float32,
+    )  # (B, pb, nh, HW, T) — q broadcast over prompts, never materialized
+    attn = _softmax_f32(logits).astype(vh.dtype)
+    out = jnp.einsum("bpnqk,bpnkd->bpnqd", attn, vh)
+    out = out.transpose(0, 1, 3, 2, 4).reshape(bp, hw, internal)
+    keys = (keys_img[:, None] + linear(out, pp["out"]).reshape(
+        b, pb, hw, c)).reshape(bp, hw, c)
+    keys = layer_norm(keys, p["ln4"], eps)
+    return queries, keys
+
+
+def two_way_transformer(point_emb, image_emb, image_pe, p,
+                        cfg: DecoderConfig, pb: int = 1):
+    """point_emb: (BP, T, C); image_pe: broadcastable (1 or BP, HW, C);
+    image_emb: (BP, HW, C), or (B, HW, C) per-image with pb > 1 (the
+    repeat to per-(image,prompt) is deferred into layer 1, see
+    _two_way_block_first_shared)."""
     queries, keys = point_emb, image_emb
     for i in range(cfg.num_layers):
+        if i == 0 and pb > 1:
+            queries, keys = _two_way_block_first_shared(
+                queries, keys, point_emb, image_pe, p["layers"][0], cfg, pb
+            )
+            continue
         queries, keys = two_way_block(
             queries, keys, point_emb, image_pe, p["layers"][i], cfg, first=(i == 0)
         )
@@ -619,16 +698,22 @@ def decode_masks(
     )
     n_tok = tokens.shape[2]
 
-    src = image_embeddings + dense_prompt  # (B, G, G, C)
-    src = jnp.repeat(src.reshape(b, 1, g * g, c), pb, axis=1)
-    src = src.reshape(b * pb, g * g, c)
-    pe = jnp.broadcast_to(
-        image_pe.reshape(1, g * g, c).astype(src.dtype), (b * pb, g * g, c)
-    )
-
-    queries, keys = two_way_transformer(
-        tokens.reshape(b * pb, n_tok, c), src, pe, p["transformer"], d
-    )
+    src = (image_embeddings + dense_prompt).reshape(b, g * g, c)
+    pe = image_pe.reshape(1, g * g, c).astype(src.dtype)
+    if pb == 1:
+        # per-image == per-pair; run the uniform path
+        queries, keys = two_way_transformer(
+            tokens.reshape(b, n_tok, c), src, pe, p["transformer"], d
+        )
+    else:
+        # src stays per-IMAGE; the repeat to (B·pb, HW, C) happens inside
+        # layer 1 at the first image→token residual (where the image side
+        # genuinely diverges per prompt) — the shared k/v/q projections
+        # before that point run on 1/pb of the rows.
+        queries, keys = two_way_transformer(
+            tokens.reshape(b * pb, n_tok, c), src, pe, p["transformer"], d,
+            pb=pb,
+        )
     iou_token_out = queries[:, 0, :]
     mask_tokens_out = queries[:, 1 : 1 + d.num_mask_tokens, :]
 
