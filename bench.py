@@ -149,6 +149,8 @@ def main():
     topo_cfg = TrainConfig(
         compute_dtype="bfloat16", cache_embeddings=True, batch_size=BATCH,
         topological=True, topo_interp=50,
+        topo_pipeline=False,  # sync two-phase diagnostic; the pipelined
+        #   default (measured next) is the config-4 headline
     )
     topo_step = make_train_step(
         cfg, topo_cfg, make_optimizer(topo_cfg), orig_hw, from_embeddings=True

@@ -163,10 +163,17 @@ def set_fused_upscaler(mode: str):
     _FUSED_UPSCALER = mode
 
 
-def _use_fused_upscaler(n_pixels: int) -> bool:
+def _use_fused_upscaler(n_pixels: int, dtype) -> bool:
     if _FUSED_UPSCALER == "off":
         return False
-    if _FUSED_UPSCALER in ("on", "interpret"):
+    if _FUSED_UPSCALER == "interpret":
+        return True
+    # bf16 only: the f32 path's erf GELU has no Mosaic lowering (the
+    # interpret mode above runs it for tests); f32 stays on the einsum
+    # chain, which is also what every parity suite compares against.
+    if dtype != jnp.bfloat16:
+        return False
+    if _FUSED_UPSCALER == "on":
         return True
     # auto: TPU only, and only when the grid is big enough for the row
     # blocks to amortize (the XLA einsum path is fine at toy sizes)
@@ -731,7 +738,7 @@ def decode_masks(
     n_out = hyper_sl.shape[1]
 
     up = keys.reshape(b * pb, g, g, c)
-    if blocked and _use_fused_upscaler(g * g):
+    if blocked and _use_fused_upscaler(g * g, up.dtype):
         # Fused Pallas chain (ops/upscaler.py): convT→LN→GELU→convT→GELU→
         # ⟨·,hyper⟩ per VMEM row block; the (BP, 4G, 4G, C/8) intermediate
         # (268 MB at training geometry) never reaches HBM, forward or
