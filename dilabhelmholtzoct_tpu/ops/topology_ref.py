@@ -39,6 +39,13 @@ from __future__ import annotations
 
 import numpy as np
 
+# imported at module level on purpose: importing scipy.optimize lazily
+# inside the first wasserstein_match call costs ~2 s on this single-core
+# host (measured with cProfile, round 3) and would land inside the first
+# topological train step; this module is itself only imported on the
+# topological path, so plain imports stay fast
+from scipy.optimize import linear_sum_assignment
+
 
 def _sublevel_h0(
     values: np.ndarray, *, eight_connect: bool, outside_node: bool
@@ -209,7 +216,6 @@ def wasserstein_match(d1: np.ndarray, d2: np.ndarray, q: float = 2.0):
     Returns (matches, unmatched1, unmatched2): matches is (m, 2) index
     pairs into d1/d2; unmatched* are index arrays paired to the diagonal.
     """
-    from scipy.optimize import linear_sum_assignment
 
     n1, n2 = len(d1), len(d2)
     if n1 == 0 and n2 == 0:
