@@ -172,6 +172,16 @@ def _use_fused_upscaler(n_pixels: int, dtype) -> bool:
     # interpret mode above runs it for tests); f32 stays on the einsum
     # chain, which is also what every parity suite compares against.
     if dtype != jnp.bfloat16:
+        if _FUSED_UPSCALER == "on":
+            import warnings
+
+            warnings.warn(
+                "set_fused_upscaler('on') ignored for non-bf16 inputs: "
+                "the f32 erf GELU has no Mosaic lowering; using the XLA "
+                "einsum path (use 'interpret' to force the kernel in "
+                "interpreter mode)",
+                stacklevel=3,
+            )
         return False
     if _FUSED_UPSCALER == "on":
         return True

@@ -319,30 +319,18 @@ def _packed_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, *refs,
         o_ref[0] = select_out(pv(p) / l)
         if return_lse:
             write_lse(m, l)
-    elif k_sub == 1:
-        s = s_parts[0]
-        m = m_ref[...]
-        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
-        alpha = jnp.exp(m - m_new)
-        p = jnp.exp(s - m_new)
-        m_ref[...] = m_new
-        l_ref[...] = l_ref[...] * alpha + p.sum(axis=1, keepdims=True)
-        acc_ref[...] = acc_ref[...] * alpha + pv(p, 0)
-
-        @pl.when(j == n_kblocks - 1)
-        def _finish():
-            o_ref[0] = select_out(acc_ref[...] / l_ref[...])
-            if return_lse:
-                write_lse(m_ref[...], l_ref[...])
     else:
-        # k_sub > 1: per-sub-block SEQUENTIAL online-softmax updates with
-        # every sub-score dot issued up front. Rationale: the round-2
-        # "no gain" k_sub experiment combined the running max over ALL
-        # sub-blocks before any exp — that ordering makes every VPU op
-        # depend on every dot, so nothing could overlap and the negative
-        # result said nothing about MXU/VPU pipelining. Here sub-block u's
-        # max/exp/sum chain depends only on dot u; if the MXU drains
-        # asynchronously, u's VPU chain overlaps dot u+1's execution.
+        # Per-sub-block SEQUENTIAL online-softmax updates with every
+        # sub-score dot issued up front; k_sub == 1 degenerates to the
+        # classic single-block update (same jaxpr). Rationale for the
+        # k_sub > 1 structure: the round-2 "no gain" k_sub experiment
+        # combined the running max over ALL sub-blocks before any exp —
+        # that ordering makes every VPU op depend on every dot, so nothing
+        # could overlap and the negative result said nothing about MXU/VPU
+        # pipelining. Here sub-block u's max/exp/sum chain depends only on
+        # dot u; if the MXU drained asynchronously, u's VPU chain could
+        # overlap dot u+1 — measured 50% SLOWER on v5e (ROADMAP negative
+        # results), so k_sub stays 1 in production.
         m = m_ref[...]
         l = l_ref[...]
         acc = acc_ref[...]

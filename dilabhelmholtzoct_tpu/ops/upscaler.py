@@ -78,15 +78,12 @@ def _chain_fwd(up_blk, w1_ref, b1_ref, g_ref, bt_ref, w2_ref, b2_ref,
                *, c1: int, eps: float, approx: bool):
     """Shared forward math: up block → u2 gelu output (+ LN residuals)."""
     l1 = w1_ref.shape[1]
-    nseg = l1 // c1
     dtype = up_blk.dtype
 
     u1pre = _dot(up_blk, w1_ref[...]) + b1_ref[0]  # (BM, L1) f32
 
     # LayerNorm over C1-lane segments via selector matmuls
-    seg = jax.lax.broadcasted_iota(jnp.int32, (l1, nseg), 0) // c1
-    col = jax.lax.broadcasted_iota(jnp.int32, (l1, nseg), 1)
-    p_sel = (seg == col).astype(jnp.float32)  # (L1, nseg)
+    p_sel = _seg_sel(l1, c1)  # (L1, nseg)
     inv = 1.0 / c1
     mu = _dot(_dot(u1pre, p_sel) * inv, p_sel.T)
     xc = u1pre - mu
@@ -107,6 +104,16 @@ def _pix_sel(l2: int, c2: int, dtype):
     pix = jax.lax.broadcasted_iota(jnp.int32, (l2, 16), 0) // c2
     col = jax.lax.broadcasted_iota(jnp.int32, (l2, 16), 1)
     return (pix == col).astype(dtype)
+
+
+def _seg_sel(l1: int, c1: int):
+    """(L1, L1/c1) 0/1 selector mapping lane → its LayerNorm segment.
+    Shared by forward and backward so the segment layout can never
+    diverge between them."""
+    nseg = l1 // c1
+    seg = jax.lax.broadcasted_iota(jnp.int32, (l1, nseg), 0) // c1
+    col = jax.lax.broadcasted_iota(jnp.int32, (l1, nseg), 1)
+    return (seg == col).astype(jnp.float32)
 
 
 def _fwd_kernel(up_ref, w1_ref, b1_ref, g_ref, bt_ref, w2_ref, b2_ref,
@@ -175,10 +182,7 @@ def _bwd_kernel(up_ref, dm_ref, w1_ref, b1_ref, g_ref, bt_ref, w2_ref,
     dbt_blk = jnp.sum(d_out1, axis=0, keepdims=True)
     d_y = d_out1 * g_ref[0]
 
-    nseg = l1 // c1
-    seg = jax.lax.broadcasted_iota(jnp.int32, (l1, nseg), 0) // c1
-    col = jax.lax.broadcasted_iota(jnp.int32, (l1, nseg), 1)
-    p_sel = (seg == col).astype(jnp.float32)
+    p_sel = _seg_sel(l1, c1)
     inv = 1.0 / c1
     mean_dy = _dot(_dot(d_y, p_sel) * inv, p_sel.T)
     yn = xc * r  # == y before affine

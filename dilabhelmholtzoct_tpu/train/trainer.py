@@ -110,7 +110,8 @@ class TrainConfig:
     #   epochs from a shared warm start, final valid 2.03±0.12 vs
     #   2.05±0.14, identical final Dice; when step-to-step pairings
     #   stabilize the two modes are bit-identical) while pipelined is
-    #   ~1.25x faster per step (167 vs 206 ms, BASELINE.md config 4).
+    #   ~1.17x faster per step (153.0 vs 179.1 ms, BASELINE.md round-3
+    #   config-4 row).
     export_pt: bool = False  # write reference-format .pt (imports torch)
     encoder_microbatch: int = 1  # images encoded per sequential chunk
     data_transforms: tuple[str, ...] = ()  # augment ops (train split only)

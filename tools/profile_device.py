@@ -194,16 +194,18 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--runs", type=int, default=4)
     ap.add_argument("--dtype", default="bfloat16")
-    ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--top", type=int, default=None,
+                    help="report rows (default: 25 encoder, 40 step)")
     ap.add_argument("--tiles", default="", help="tq,tk,k_sub override")
     args = ap.parse_args()
     if args.target == "encoder":
-        profile_encoder(args.batch, args.runs, args.dtype, args.top,
+        profile_encoder(args.batch, args.runs, args.dtype, args.top or 25,
                         args.tiles)
     elif args.target == "step":
-        profile_step(args.batch, args.runs, cached=True, top=args.top)
+        profile_step(args.batch, args.runs, cached=True, top=args.top or 40)
     else:
-        profile_step(args.batch, args.runs, cached=False, top=args.top)
+        profile_step(args.batch, args.runs, cached=False,
+                     top=args.top or 40)
 
 
 if __name__ == "__main__":
