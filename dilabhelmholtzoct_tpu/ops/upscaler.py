@@ -125,11 +125,17 @@ def _fwd_kernel(up_ref, w1_ref, b1_ref, g_ref, bt_ref, w2_ref, b2_ref,
     sel = _pix_sel(l2, c2, jnp.float32)
     u2g32 = u2g.astype(jnp.float32)
     n_out = ht_ref.shape[1]
+    # output lanes are (t, pix) flattened: a 3-D (BP, M, n_out*16) out
+    # block keeps Mosaic on the regular (8,128) tiling — the 4-D
+    # (..., n_out, 16) form got a degenerate T(1,128) layout and XLA
+    # inserted a 0.29 ms relayout copy on the cotangent (xplane, round 3)
+    cols = []
     for t in range(n_out):
         # f32 product + f32 accumulation — same semantics as the blocked
         # einsum path (preferred_element_type=f32 over bf16 inputs).
         row = ht_ref[0, t:t + 1, :].astype(jnp.float32)  # (1, L2)
-        out_ref[0, :, t, :] = _dot(u2g32 * row, sel)
+        cols.append(_dot(u2g32 * row, sel))
+    out_ref[0] = cols[0] if n_out == 1 else jnp.concatenate(cols, axis=1)
 
 
 def _bwd_kernel(up_ref, dm_ref, w1_ref, b1_ref, g_ref, bt_ref, w2_ref,
@@ -154,10 +160,11 @@ def _bwd_kernel(up_ref, dm_ref, w1_ref, b1_ref, g_ref, bt_ref, w2_ref,
     n_out = ht_ref.shape[1]
     d_u2g = jnp.zeros(u2g.shape, jnp.float32)
     dht_rows = []
+    dm_blk = dm_ref[0]  # (BM, n_out*16)
     for t in range(n_out):
         # grad wrt u2g and wrt the tiled hyper vector, per mask token
         g_t = jax.lax.dot_general(
-            dm_ref[0, :, t, :], sel,
+            dm_blk if n_out == 1 else dm_blk[:, t * 16:(t + 1) * 16], sel,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (BM, L2): dm broadcast over the c2 lanes of each pixel
@@ -298,9 +305,9 @@ def _fused_fwd(interpret, eps, up, w1, b1, ln_scale, ln_bias, w2, b2,
             _full_spec(b2f.shape),
             pl.BlockSpec((1,) + ht.shape[1:], lambda b, mm: (b, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, bm, n_out, 16),
-                               lambda b, mm: (b, mm, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((bp, m, n_out, 16), jnp.float32),
+        out_specs=pl.BlockSpec((1, bm, n_out * 16),
+                               lambda b, mm: (b, mm, 0)),
+        out_shape=jax.ShapeDtypeStruct((bp, m, n_out * 16), jnp.float32),
         interpret=interpret,
     )(up, w1f, b1f, gt, btt, w2big, b2f, ht)
     return out, (up, w1, b1, ln_scale, ln_bias, w2, b2, hyper)
@@ -324,7 +331,7 @@ def _fused_bwd(interpret, eps, res, dm):
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bm, c), lambda b, mm: (b, mm, 0)),
-            pl.BlockSpec((1, bm, n_out, 16), lambda b, mm: (b, mm, 0, 0)),
+            pl.BlockSpec((1, bm, n_out * 16), lambda b, mm: (b, mm, 0)),
             _full_spec(w1f.shape),
             _full_spec(b1f.shape),
             _full_spec(gt.shape),
@@ -377,7 +384,7 @@ def upscale_hyper_masks(up_flat, upscale_params, hyper_sl, *,
     """Fused upscale(2x2 convT → LN2d → GELU → 2x2 convT → GELU) ⊗ hyper.
 
     up_flat: (BP, G·G, C); hyper_sl: (BP, n_out, C/8)
-    Returns (BP, G·G, n_out, 16) f32 — lane (d, e, f, g) is the pixel
+    Returns (BP, G·G, n_out·16) f32 — per token, lane (t, d, e, f, g); the pixel
     (4h+2d+f, 4w+2e+g) block offset, identical to the blocked einsum
     path's (..., 2, 2, 2, 2) trailing axes.
     """
