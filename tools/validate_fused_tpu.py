@@ -1,0 +1,115 @@
+"""Reproducible TPU A/B validation of the fused upscaler+hypernetwork kernel.
+
+Runs decode_masks(blocked=True) twice on the REAL device at the training
+geometry — once with the fused Pallas kernel (ops/upscaler.py), once on
+the XLA einsum chain — from identical bf16 params, and reports the loss
+delta and per-tensor gradient deltas. The einsum chain is itself
+parity-proven against HF SAM (tests/test_sam_parity.py), so this bounds
+the kernel's end-to-end numerics on hardware (Mosaic), complementing the
+CPU interpret-mode tests in tests/test_upscaler.py.
+
+Round-3 recorded result: loss rel delta 4.3e-3 (bf16 rounding — the
+kernel keeps pre-activation chains in f32 where XLA rounds between
+ops); per-tensor grad deltas <=0.9% of each tensor's gradient magnitude
+(bf16 ulp is ~0.4%), and the largest RELATIVE deltas are confined to
+tensors whose true gradients are mathematically zero (attention k
+biases — softmax is shift-invariant in keys), i.e. noise vs noise.
+
+Usage:  python tools/validate_fused_tpu.py [--batch 2] [--prompts 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--prompts", type=int, default=8)
+    ap.add_argument("--seed", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from dilabhelmholtzoct_tpu.models import init_params
+    from dilabhelmholtzoct_tpu.models.configs import sam_vit_base
+    from dilabhelmholtzoct_tpu.models.sam import (
+        decode_masks, encode_prompts, image_wide_pe, set_fused_upscaler)
+    from dilabhelmholtzoct_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    rng = np.random.default_rng(args.seed)
+    cfg = sam_vit_base()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
+    b, pb, g = args.batch, args.prompts, 64
+    emb = jnp.asarray(rng.normal(size=(b, g, g, 256)).astype(np.float32)
+                      ).astype(jnp.bfloat16)
+    boxes = jnp.asarray(
+        rng.uniform(50, 900, size=(b, pb, 4)).astype(np.float32))
+    ct = jnp.asarray(rng.normal(
+        size=(b, pb, 1, g, g, 2, 2, 2, 2)).astype(np.float32))
+
+    def run(mode):
+        set_fused_upscaler(mode)
+
+        def loss(params, emb):
+            sparse, dense = encode_prompts(params, cfg, b, boxes=boxes,
+                                           dtype=emb.dtype)
+            pe = image_wide_pe(params, cfg)
+            masks, _ = decode_masks(params, cfg, emb, pe, sparse, dense,
+                                    multimask_output=False, blocked=True)
+            return jnp.sum(masks * ct)
+
+        val, grads = jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))(
+            params, emb)
+        jax.block_until_ready((val, grads))
+        return val, grads
+
+    try:
+        v_on, g_on = run("on")
+        v_off, g_off = run("off")
+    finally:
+        set_fused_upscaler("auto")
+
+    rel = abs(float(v_on) - float(v_off)) / max(1e-9, abs(float(v_off)))
+    print(f"loss fused={float(v_on):.6f} einsum={float(v_off):.6f} "
+          f"rel={rel:.3e}")
+
+    paths_on = jax.tree_util.tree_flatten_with_path(g_on)[0]
+    paths_off = jax.tree_util.tree_flatten_with_path(g_off)[0]
+    rows = []
+    for (pa, a), (_, bb) in zip(paths_on, paths_off):
+        a = np.asarray(a, np.float32)
+        bb = np.asarray(bb, np.float32)
+        mx = float(np.abs(bb).max())
+        d = float(np.abs(a - bb).max())
+        # scale-aware: delta relative to the tensor's gradient magnitude;
+        # tensors with ~zero true gradient (mx below bf16 noise) are
+        # noise-vs-noise and excluded from the verdict
+        rows.append((d / mx if mx > 1e-3 else 0.0, d, mx,
+                     jax.tree_util.keystr(pa)))
+    rows.sort(reverse=True)
+    print("largest SCALED grad deltas (delta/refmax, delta, refmax, tensor):")
+    for s, d, mx, name in rows[:8]:
+        print(f"  {s:.3e}  {d:.3e}  {mx:.3e}  {name}")
+    worst = rows[0][0]
+    ok = rel < 2e-2 and worst < 2e-2
+    print(f"verdict: {'OK' if ok else 'FAIL'} "
+          f"(loss rel {rel:.1e} < 2e-2, max scaled grad delta "
+          f"{worst:.1e} < 2e-2)")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
