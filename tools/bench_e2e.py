@@ -74,6 +74,10 @@ def main():
     ap.add_argument("--keep", action="store_true")
     ap.add_argument("--evaluate", action="store_true",
                     help="run the reference's final per-class evaluation")
+    ap.add_argument("--top", action="store_true",
+                    help="topological regularizer on (pipelined default)")
+    ap.add_argument("--topo_sync", action="store_true",
+                    help="with --top: synchronous two-phase mode")
     args = ap.parse_args()
 
     from dilabhelmholtzoct_tpu.utils.cache import enable_compilation_cache
@@ -107,6 +111,8 @@ def main():
         display_mode="none",
         shuffle=True,
         display_name="e2e-bench",
+        topological=args.top,
+        topo_pipeline=not args.topo_sync,
     )
     t0 = time.time()
     result = training(config)
