@@ -153,6 +153,13 @@ def _use_flash(n_tokens: int) -> bool:
     return n_tokens >= _FLASH_MIN_TOKENS and jax.default_backend() != "cpu"
 
 
+def _kernel_mesh(batch_size: int):
+    """Active DP kernel mesh (parallel/mesh.py), or None off the DP path."""
+    from ..parallel.mesh import kernel_mesh
+
+    return kernel_mesh(batch_size)
+
+
 _FUSED_UPSCALER = "auto"
 
 
@@ -223,6 +230,22 @@ def vision_attention(x, p, cfg: VisionConfig):
             hw=(h, w), num_heads=n_heads,
             interpret=(_FLASH_MODE == "interpret"),
         )
+        mesh = _kernel_mesh(b)
+        if mesh is not None:
+            # Under data parallelism the Mosaic custom call must be
+            # shard_map'ed over the batch axis — GSPMD would otherwise
+            # replicate it (parallel/mesh.py kernel-mesh note). All three
+            # operands are batch-leading and gradients flow only to them,
+            # so no cross-shard reductions are needed.
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel.mesh import DATA_AXIS, shard_map_kernel
+
+            attn_fn = shard_map_kernel(
+                attn_fn, mesh,
+                in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+                out_specs=P(DATA_AXIS),
+            )
         out = attn_fn(qkv_flat, rel_h, rel_w)
         return linear(out.reshape(b, h, w, c), p["proj"])
 

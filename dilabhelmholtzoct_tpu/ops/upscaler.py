@@ -379,6 +379,74 @@ def _fused_bwd(interpret, eps, res, dm):
 _fused.defvjp(_fused_fwd, _fused_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Data-parallel variant: Mosaic custom calls are opaque to XLA's SPMD
+# partitioner (GSPMD replicates them — parallel/mesh.py kernel-mesh note),
+# so under a DP mesh the kernels run per-shard via shard_map. Batch-leading
+# operands (up, hyper, masks, their grads) shard over 'data'; parameter
+# gradients are partial sums over the local shard and take an explicit
+# psum — semantically identical to the grad all-reduce GSPMD inserts for
+# the rest of the step.
+# ---------------------------------------------------------------------------
+
+
+def _dp_specs(n_batch_lead: int, n_rep: int, n_batch_tail: int = 0):
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS
+
+    d = P(DATA_AXIS)
+    return (d,) * n_batch_lead + (P(),) * n_rep + (d,) * n_batch_tail
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _fused_dp(mesh, interpret, eps, up, w1, b1, ln_scale, ln_bias, w2, b2,
+              hyper):
+    out, _ = _fused_dp_fwd(mesh, interpret, eps, up, w1, b1, ln_scale,
+                           ln_bias, w2, b2, hyper)
+    return out
+
+
+def _fused_dp_fwd(mesh, interpret, eps, up, w1, b1, ln_scale, ln_bias, w2,
+                  b2, hyper):
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS, shard_map_kernel
+
+    def inner(up, w1, b1, ln_scale, ln_bias, w2, b2, hyper):
+        return _fused_fwd(interpret, eps, up, w1, b1, ln_scale, ln_bias,
+                          w2, b2, hyper)[0]
+
+    out = shard_map_kernel(
+        inner, mesh,
+        in_specs=_dp_specs(1, 6, 1),
+        out_specs=P(DATA_AXIS),
+    )(up, w1, b1, ln_scale, ln_bias, w2, b2, hyper)
+    return out, (up, w1, b1, ln_scale, ln_bias, w2, b2, hyper)
+
+
+def _fused_dp_bwd(mesh, interpret, eps, res, dm):
+    from ..parallel.mesh import DATA_AXIS, shard_map_kernel
+
+    def inner(dm, up, w1, b1, ln_scale, ln_bias, w2, b2, hyper):
+        grads = _fused_bwd(
+            interpret, eps,
+            (up, w1, b1, ln_scale, ln_bias, w2, b2, hyper), dm)
+        d_up, d_w1, d_b1, d_s, d_b, d_w2, d_b2, d_hyper = grads
+        ps = lambda t: jax.lax.psum(t, DATA_AXIS)
+        return (d_up, ps(d_w1), ps(d_b1), ps(d_s), ps(d_b), ps(d_w2),
+                ps(d_b2), d_hyper)
+
+    return shard_map_kernel(
+        inner, mesh,
+        in_specs=_dp_specs(2, 6, 1),
+        out_specs=_dp_specs(1, 6, 1),
+    )(dm, *res)
+
+
+_fused_dp.defvjp(_fused_dp_fwd, _fused_dp_bwd)
+
+
 def upscale_hyper_masks(up_flat, upscale_params, hyper_sl, *,
                         eps: float = 1e-6, interpret: bool = False):
     """Fused upscale(2x2 convT → LN2d → GELU → 2x2 convT → GELU) ⊗ hyper.
@@ -389,11 +457,17 @@ def upscale_hyper_masks(up_flat, upscale_params, hyper_sl, *,
     path's (..., 2, 2, 2, 2) trailing axes.
     """
     p = upscale_params
-    return _fused(
-        interpret, eps, up_flat,
+    args = (
+        up_flat,
         p["ct1_w"].astype(up_flat.dtype), p["ct1_b"].astype(jnp.float32),
         p["ln"]["scale"].astype(jnp.float32),
         p["ln"]["bias"].astype(jnp.float32),
         p["ct2_w"].astype(up_flat.dtype), p["ct2_b"].astype(jnp.float32),
         hyper_sl.astype(up_flat.dtype),
     )
+    from ..parallel.mesh import kernel_mesh
+
+    mesh = kernel_mesh(up_flat.shape[0])
+    if mesh is not None:
+        return _fused_dp(mesh, interpret, eps, *args)
+    return _fused(interpret, eps, *args)

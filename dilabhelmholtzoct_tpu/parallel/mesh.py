@@ -49,6 +49,48 @@ def replicate(tree, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
 
 
+# ---------------------------------------------------------------------------
+# Kernel mesh context — Pallas calls under data parallelism
+#
+# Mosaic kernels are opaque custom calls to XLA's SPMD partitioner: under a
+# plain sharded jit, GSPMD replicates them (measured on the 8-device CPU
+# mesh, round 3: output sharding collapses to P() — every device would
+# all-gather the batch and redo the FULL kernel on a real pod). Model code
+# therefore wraps each pallas_call in shard_map over the 'data' axis when a
+# kernel mesh is active. The trainer (and the multichip dryrun) set this
+# right after building the DP mesh.
+# ---------------------------------------------------------------------------
+
+_KERNEL_MESH: Mesh | None = None
+
+
+def set_kernel_mesh(mesh: Mesh | None):
+    """Activate (or clear, with None) the mesh used to shard Pallas kernels."""
+    global _KERNEL_MESH
+    _KERNEL_MESH = mesh
+
+
+def kernel_mesh(batch_size: int) -> Mesh | None:
+    """The active kernel mesh, if the leading batch axis divides evenly."""
+    m = _KERNEL_MESH
+    if m is None or m.size <= 1 or batch_size % m.size != 0:
+        return None
+    return m
+
+
+def shard_map_kernel(f, mesh: Mesh, in_specs, out_specs):
+    """shard_map across jax API generations (jax.shard_map is keyword-only
+    with check_vma; the experimental module used check_rep)."""
+    try:
+        return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)
+    except TypeError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+
+        return shard_map(f, mesh, in_specs=in_specs, out_specs=out_specs,
+                         check_rep=False)
+
+
 def pad_to_multiple(batch: dict, multiple: int, *, count_key="n_components"):
     """Pad the leading (batch) axis up to a multiple of the mesh size so the
     per-device shard is even; padded rows get zero channel_mask so they do

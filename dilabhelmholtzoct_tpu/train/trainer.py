@@ -639,6 +639,11 @@ def training(config: TrainConfig, logger: MultiLogger | None = None) -> dict:
         opt_state = replicate(opt_state, mesh)
         frozen_params = replicate(frozen_params, mesh)
         batch_sharding = data_sharding(mesh)
+        from ..parallel.mesh import set_kernel_mesh
+
+        # Pallas kernels must be shard_map'ed over 'data' under DP —
+        # GSPMD replicates opaque Mosaic custom calls (parallel/mesh.py)
+        set_kernel_mesh(mesh)
         print(f"[dp] data-parallel over {n_dev} devices")
 
     def device_batch(batch, emb, cm=None):
