@@ -781,7 +781,7 @@ def decode_masks(
         mf = upscale_hyper_masks(
             up.reshape(b * pb, g * g, c), p["upscale"], hyper_sl,
             interpret=(_FUSED_UPSCALER == "interpret"),
-        )  # (BP, G·G, n_out, 16) f32
+        )  # (BP, G·G, n_out·16) f32
         mf = mf.reshape(b, pb, g, g, n_out, 2, 2, 2, 2)
         masks = jnp.moveaxis(mf, 4, 2)  # (b, pb, n_out, g, g, 2, 2, 2, 2)
     elif blocked:

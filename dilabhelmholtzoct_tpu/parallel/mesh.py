@@ -70,25 +70,48 @@ def set_kernel_mesh(mesh: Mesh | None):
     _KERNEL_MESH = mesh
 
 
+_WARNED_INDIVISIBLE = set()
+
+
 def kernel_mesh(batch_size: int) -> Mesh | None:
     """The active kernel mesh, if the leading batch axis divides evenly."""
     m = _KERNEL_MESH
-    if m is None or m.size <= 1 or batch_size % m.size != 0:
+    if m is None or m.size <= 1:
+        return None
+    if batch_size % m.size != 0:
+        # falling back to the unwrapped pallas_call means GSPMD replicates
+        # the kernel (full-batch redundant work on every device) — loud
+        # once per (batch, mesh) shape so perf regressions are traceable
+        key = (batch_size, m.size)
+        if key not in _WARNED_INDIVISIBLE:
+            _WARNED_INDIVISIBLE.add(key)
+            import warnings
+
+            warnings.warn(
+                f"batch axis {batch_size} does not divide the {m.size}-"
+                f"device kernel mesh: Pallas kernels for this shape run "
+                f"unwrapped and GSPMD will replicate them (every device "
+                f"redoes the full-batch kernel)", stacklevel=2,
+            )
         return None
     return m
 
 
 def shard_map_kernel(f, mesh: Mesh, in_specs, out_specs):
     """shard_map across jax API generations (jax.shard_map is keyword-only
-    with check_vma; the experimental module used check_rep)."""
-    try:
-        return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
-                             out_specs=out_specs, check_vma=False)
-    except TypeError:  # pragma: no cover - older jax
-        from jax.experimental.shard_map import shard_map
+    with check_vma; the experimental module used check_rep — and on jax
+    before ~0.5 there is no jax.shard_map attribute at all)."""
+    new_api = getattr(jax, "shard_map", None)
+    if new_api is not None:
+        try:
+            return new_api(f, mesh=mesh, in_specs=in_specs,
+                           out_specs=out_specs, check_vma=False)
+        except TypeError:  # pragma: no cover - transitional signatures
+            pass
+    from jax.experimental.shard_map import shard_map  # pragma: no cover
 
-        return shard_map(f, mesh, in_specs=in_specs, out_specs=out_specs,
-                         check_rep=False)
+    return shard_map(f, mesh, in_specs=in_specs, out_specs=out_specs,
+                     check_rep=False)  # pragma: no cover
 
 
 def pad_to_multiple(batch: dict, multiple: int, *, count_key="n_components"):

@@ -499,6 +499,19 @@ def training(config: TrainConfig, logger: MultiLogger | None = None) -> dict:
 
     Returns {'params', 'cfg', 'history', 'checkpoint_dir'}.
     """
+    from ..parallel.mesh import set_kernel_mesh
+
+    try:
+        return _training_impl(config, logger)
+    finally:
+        # the DP branch activates the process-global kernel mesh for
+        # shard_map'ed Pallas calls; clear it so later single-device work
+        # in the same process (eval tools, A/B benches) is not silently
+        # sharded over a stale mesh
+        set_kernel_mesh(None)
+
+
+def _training_impl(config: TrainConfig, logger: MultiLogger | None) -> dict:
     from ..data.store import load_split
     from ..parallel import distributed as dist
 

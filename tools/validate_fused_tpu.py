@@ -10,7 +10,7 @@ CPU interpret-mode tests in tests/test_upscaler.py.
 
 Round-3 recorded result: loss rel delta 4.3e-3 (bf16 rounding — the
 kernel keeps pre-activation chains in f32 where XLA rounds between
-ops); per-tensor grad deltas <=0.9% of each tensor's gradient magnitude
+ops); per-tensor grad deltas <=1.2% of each tensor's gradient magnitude
 (bf16 ulp is ~0.4%), and the largest RELATIVE deltas are confined to
 tensors whose true gradients are mathematically zero (attention k
 biases — softmax is shift-invariant in keys), i.e. noise vs noise.
@@ -94,11 +94,10 @@ def main():
         bb = np.asarray(bb, np.float32)
         mx = float(np.abs(bb).max())
         d = float(np.abs(a - bb).max())
-        # scale-aware: delta relative to the tensor's gradient magnitude;
-        # tensors with ~zero true gradient (mx below bf16 noise) are
-        # noise-vs-noise and excluded from the verdict
-        rows.append((d / mx if mx > 1e-3 else 0.0, d, mx,
-                     jax.tree_util.keystr(pa)))
+        # scale-aware: delta relative to the tensor's gradient magnitude,
+        # with the denominator FLOORED (not the delta discarded) so a
+        # spurious large gradient on a ~zero-gradient tensor still fails
+        rows.append((d / max(mx, 1e-3), d, mx, jax.tree_util.keystr(pa)))
     rows.sort(reverse=True)
     print("largest SCALED grad deltas (delta/refmax, delta, refmax, tensor):")
     for s, d, mx, name in rows[:8]:
