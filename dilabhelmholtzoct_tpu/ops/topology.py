@@ -72,7 +72,37 @@ def resize_align_corners(x, out_hw):
     return left + wx * (right - left)
 
 
-def host_pairing(pred, true, feat_d=1, q=2.0, max_bars=MAX_BARS):
+def true_diagrams_from_grids(true, feat_d=1, max_bars=MAX_BARS):
+    """Per-row persistence diagram VALUES (birth, death) of target grids.
+
+    The targets are constant across epochs (GT component masks), so their
+    diagrams are computed once and cached by the trainer; only the values
+    matter downstream (matching costs, matched targets, const_term) — the
+    gradient flows exclusively through the PRED side's pixel indices.
+    Returns a list of (cnt_i, 2) f32 arrays, one per row.
+    """
+    true = np.asarray(true, np.float32)
+    n = true.shape[0]
+    empty = np.zeros((0, 2), np.float32)
+    if feat_d not in (0, 1):  # no 2-dim features on a 2-D grid
+        return [empty] * n
+    tp = cubical_pairs_batch(true, max_bars)
+    bkey, dkey = f"h{feat_d}_birth", f"h{feat_d}_death"
+    out = []
+    for i in range(n):
+        cnt = int(tp["counts"][i, feat_d])
+        if not cnt:
+            out.append(empty)
+            continue
+        tflat = true[i].reshape(-1)
+        tb = tp[bkey][i, :cnt]
+        td = tp[dkey][i, :cnt]
+        out.append(np.stack([tflat[tb], tflat[td]], 1).astype(np.float32))
+    return out
+
+
+def host_pairing(pred, true, feat_d=1, q=2.0, max_bars=MAX_BARS,
+                 true_diagrams=None, row_mask=None):
     """Host-side pairing + matching for the two-phase TPU path.
 
     The axon TPU runtime does not support ``jax.pure_callback``, so the
@@ -82,9 +112,18 @@ def host_pairing(pred, true, feat_d=1, q=2.0, max_bars=MAX_BARS):
     Hungarian), and the resulting arrays are fed as *inputs* to the jitted
     loss/grad step (``topo_loss_from_pairing``). Identical math to the
     ``pure_callback`` path.
+
+    true_diagrams: optional per-row diagram values
+    (``true_diagrams_from_grids``) — when given, ``true`` may be None (the
+    trainer's cross-epoch GT-diagram cache skips both the target-side
+    persistence and the target-grid device fetch).
+    row_mask: optional (N,) 0/1 — rows with 0 are bucket padding whose
+    loss contribution is zeroed by channel_mask anyway; skipping them here
+    skips their pred-side persistence and matching (exact, cheaper).
     """
     p_birth, p_death, matched, target, const_term = _host_pairs_and_matching(
-        pred, true, feat_d=feat_d, q=q, max_bars=max_bars
+        pred, true, feat_d=feat_d, q=q, max_bars=max_bars,
+        true_diagrams=true_diagrams, row_mask=row_mask,
     )
     return {
         "p_birth": p_birth,
@@ -95,52 +134,59 @@ def host_pairing(pred, true, feat_d=1, q=2.0, max_bars=MAX_BARS):
     }
 
 
-def _host_pairs_and_matching(pred, true, feat_d, q, max_bars):
+def _host_pairs_and_matching(pred, true, feat_d, q, max_bars,
+                             true_diagrams=None, row_mask=None):
     """Host callback: pairing for pred & true + optimal matching.
 
-    pred/true: (N, H, W) float32. Returns fixed-size numpy arrays:
+    pred: (N, H, W) float32; true: same, or None with ``true_diagrams``.
+    Returns fixed-size numpy arrays:
       p_birth, p_death: (N, K) int32 flat pixel indices, -1 pad
       matched:         (N, K) int8 — 1 if pred bar matched to a true bar
       target:          (N, K, 2) f32 — matched true (birth, death) values
       const_term:      (N,) f32 — Σ diag-costs^q of unmatched TRUE bars
     """
     pred = np.asarray(pred, np.float32)
-    true = np.asarray(true, np.float32)
     n, h, w = pred.shape
     k = max_bars
-    pp = cubical_pairs_batch(pred, k)
-    tp = cubical_pairs_batch(true, k)
     dim = int(feat_d)
+
+    if true_diagrams is None:
+        true_diagrams = true_diagrams_from_grids(true, dim, k)
+
+    if row_mask is not None:
+        active = np.nonzero(np.asarray(row_mask).reshape(-1) > 0)[0]
+    else:
+        active = np.arange(n)
 
     p_birth = np.full((n, k), -1, np.int32)
     p_death = np.full((n, k), -1, np.int32)
     matched = np.zeros((n, k), np.int8)
     target = np.zeros((n, k, 2), np.float32)
     const_term = np.zeros((n,), np.float32)
+    if len(active) == 0:
+        return p_birth, p_death, matched, target, const_term
+
+    pp = cubical_pairs_batch(pred[active], k)
 
     bkey, dkey = f"h{dim}_birth", f"h{dim}_death"
-    for i in range(n):
+    for j, i in enumerate(active):
         if dim in (0, 1):
-            cnt_p = int(pp["counts"][i, dim])
-            cnt_t = int(tp["counts"][i, dim])
-            pb = pp[bkey][i, :cnt_p]
-            pd = pp[dkey][i, :cnt_p]
-            tb = tp[bkey][i, :cnt_t]
-            td = tp[dkey][i, :cnt_t]
+            cnt_p = int(pp["counts"][j, dim])
+            pb = pp[bkey][j, :cnt_p]
+            pd = pp[dkey][j, :cnt_p]
         else:  # dim 2: no 2-dimensional features on a 2D grid
-            cnt_p = cnt_t = 0
-            pb = pd = tb = td = np.zeros(0, np.int32)
+            cnt_p = 0
+            pb = pd = np.zeros(0, np.int32)
         pflat = pred[i].reshape(-1)
-        tflat = true[i].reshape(-1)
         d1 = np.stack([pflat[pb], pflat[pd]], 1) if cnt_p else np.zeros((0, 2))
-        d2 = np.stack([tflat[tb], tflat[td]], 1) if cnt_t else np.zeros((0, 2))
+        d2 = np.asarray(true_diagrams[i], np.float32).reshape(-1, 2)
         m, un1, un2 = wasserstein_match(d1, d2, q)
         p_birth[i, :cnt_p] = pb
         p_death[i, :cnt_p] = pd
         for r, c in m:
             matched[i, r] = 1
-            target[i, r, 0] = tflat[tb[c]]
-            target[i, r, 1] = tflat[td[c]]
+            target[i, r, 0] = d2[c, 0]
+            target[i, r, 1] = d2[c, 1]
         if len(un2):
             const_term[i] = np.sum(
                 (np.abs(d2[un2, 1] - d2[un2, 0]) / 2.0) ** q
@@ -170,15 +216,16 @@ def _wasserstein_per_diagram(grids, p_birth, p_death, matched, target,
     return jnp.power(jnp.maximum(total, 1e-12), 1.0 / q)
 
 
+def downsample_grid(x, interp: int):
+    """The reference's align-corners downsample (topological_loss.py:33-46)
+    for one tensor."""
+    x = x.astype(jnp.float32)
+    return resize_align_corners(x, (interp, interp)) if interp else x
+
+
 def downsample_for_topo(pred_obj, true_obj, interp: int):
-    """The reference's align-corners downsample (topological_loss.py:33-46);
-    shared by both execution paths."""
-    pred = pred_obj.astype(jnp.float32)
-    true = true_obj.astype(jnp.float32)
-    if interp:
-        pred = resize_align_corners(pred, (interp, interp))
-        true = resize_align_corners(true, (interp, interp))
-    return pred, true
+    """Downsample both sides; shared by both execution paths."""
+    return downsample_grid(pred_obj, interp), downsample_grid(true_obj, interp)
 
 
 def topo_loss_from_pairing(

@@ -112,6 +112,10 @@ class TrainConfig:
     #   stabilize the two modes are bit-identical) while pipelined is
     #   ~1.17x faster per step (153.0 vs 179.1 ms, BASELINE.md round-3
     #   config-4 row).
+    topo_true_cache: bool = True  # cache GT-side persistence diagrams
+    #   across epochs (exact: targets are constant; auto-disabled under
+    #   augmentation). Skips the target persistence, the gt one-hot
+    #   phase-A work, and the target-grid download from epoch 2 on.
     export_pt: bool = False  # write reference-format .pt (imports torch)
     encoder_microbatch: int = 1  # images encoded per sequential chunk
     data_transforms: tuple[str, ...] = ()  # augment ops (train split only)
@@ -336,26 +340,105 @@ def make_train_step(
             config.topo_interp,
         )
 
-    def _pair(pred50, true50):
-        from ..ops.topology import host_pairing
+    @jax.jit
+    def fwd_grids_pred(decoder_params, frozen_params, batch):
+        # cache-hit variant: the GT-side diagrams are already cached, so
+        # neither the gt one-hot materialization nor the true-grid
+        # download happens
+        embeddings = get_embeddings(decoder_params, frozen_params, batch)
+        masks = _forward_from_embeddings(
+            decoder_params, frozen_params, cfg, embeddings, batch, orig_hw,
+            config.prompt_type,
+        )
+        from ..ops.topology import downsample_grid
 
-        # single bundled device→host transfer (the tunnel charges a fixed
-        # ~29ms round trip per synchronous call)
-        pred50, true50 = jax.device_get((pred50, true50))
+        return downsample_grid(
+            jax.nn.sigmoid(masks.astype(jnp.float32)), config.topo_interp
+        )
+
+    # Cross-epoch GT-diagram cache (exact: the targets are constant —
+    # component masks from the extraction cache; prompts re-jitter but GT
+    # does not). Keyed by dataset sample index; stores the per-slot
+    # diagram VALUES (true_diagrams_from_grids). Disabled under
+    # augmentation, where GT masks change per epoch.
+    use_true_cache = config.topo_true_cache and not config.data_transforms
+    true_cache: dict[int, list] = {}
+    host_meta = {"cur": None}
+    _empty_diag = np.zeros((0, 2), np.float32)
+
+    def set_host_batch(batch):
+        """Side channel: the trainer passes the HOST batch (sample indices
+        + channel mask) before each step; bench/profile callers that skip
+        this get the legacy no-cache path."""
+        idxs = batch.get("indices")
+        host_meta["cur"] = (
+            None if idxs is None else [int(i) for i in np.asarray(idxs)],
+            np.asarray(batch["channel_mask"]),
+        )
+
+    def _cache_hit(meta):
+        return (use_true_cache and meta is not None and meta[0] is not None
+                and all(ix in true_cache for ix in meta[0]))
+
+    def _pair(pred50, true50, meta=None):
+        from ..ops.topology import host_pairing, true_diagrams_from_grids
+
+        if meta is None or meta[0] is None or not use_true_cache:
+            # legacy path (bench/profilers): both grids fetched, no cache
+            pred50, true50 = jax.device_get((pred50, true50))
+            b, c = pred50.shape[:2]
+            pairing = host_pairing(
+                pred50.reshape(b * c, *pred50.shape[2:]),
+                true50.reshape(b * c, *true50.shape[2:]),
+                feat_d=config.topo_feat_d,
+                row_mask=(meta[1].reshape(-1) if meta is not None else None),
+            )
+            return jax.device_put(pairing)
+
+        idxs, cmask = meta
+        bucket = cmask.shape[1]
+        if true50 is None:  # cache hit: assemble per-row GT diagrams
+            pred50 = np.asarray(jax.device_get(pred50))
+            diagrams = []
+            for ix in idxs:
+                slots = true_cache[ix]
+                diagrams.extend(
+                    slots[s] if s < len(slots) else _empty_diag
+                    for s in range(bucket)
+                )
+        else:  # miss: compute once, fill the cache
+            pred50, true50 = jax.device_get((pred50, true50))
+            b, c = pred50.shape[:2]
+            diagrams = true_diagrams_from_grids(
+                true50.reshape(b * c, *true50.shape[2:]),
+                config.topo_feat_d,
+            )
+            for bi, ix in enumerate(idxs):
+                cnt = int(cmask[bi].sum())
+                true_cache[ix] = [diagrams[bi * c + s] for s in range(cnt)]
         b, c = pred50.shape[:2]
         pairing = host_pairing(
-            pred50.reshape(b * c, *pred50.shape[2:]),
-            true50.reshape(b * c, *true50.shape[2:]),
-            feat_d=config.topo_feat_d,
+            pred50.reshape(b * c, *pred50.shape[2:]), None,
+            feat_d=config.topo_feat_d, true_diagrams=diagrams,
+            row_mask=cmask.reshape(-1),
         )
         return jax.device_put(pairing)
 
+    def _fwd_for_meta(decoder_params, frozen_params, batch, meta):
+        if _cache_hit(meta):
+            return (fwd_grids_pred(decoder_params, frozen_params, batch),
+                    None)
+        return fwd_grids(decoder_params, frozen_params, batch)
+
     def topo_step(decoder_params, opt_state, frozen_params, batch):
-        grids = fwd_grids(decoder_params, frozen_params, batch)
-        pairing = _pair(*grids)
+        meta = host_meta["cur"]
+        pred50, true50 = _fwd_for_meta(
+            decoder_params, frozen_params, batch, meta)
+        pairing = _pair(pred50, true50, meta)
         return step(decoder_params, opt_state, frozen_params, batch, pairing)
 
     if not config.topo_pipeline:
+        topo_step.set_host_batch = set_host_batch
         return topo_step
 
     # Pipelined (opt-in) topological mode: one-batch delay. Batch k's
@@ -372,21 +455,22 @@ def make_train_step(
     state = {"pending": None}
 
     def topo_step_pipelined(decoder_params, opt_state, frozen_params, batch):
-        grids = fwd_grids(decoder_params, frozen_params, batch)
+        meta = host_meta["cur"]
+        grids = _fwd_for_meta(decoder_params, frozen_params, batch, meta)
         for g in grids:
             # start the device->host transfer NOW so it overlaps the next
             # dispatches and the previous batch's host pairing; the later
             # device_get in _pair then returns without blocking on the
             # tunnel (~1.3 MB of 50x50 grids costs ~50 ms synchronously
             # at fresh-tunnel rates)
-            if hasattr(g, "copy_to_host_async"):
+            if g is not None and hasattr(g, "copy_to_host_async"):
                 g.copy_to_host_async()
         prev = state["pending"]
-        state["pending"] = (batch, grids)
+        state["pending"] = (batch, grids, meta)
         if prev is None:
             return decoder_params, opt_state, None
-        prev_batch, prev_grids = prev
-        pairing = _pair(*prev_grids)
+        prev_batch, prev_grids, prev_meta = prev
+        pairing = _pair(*prev_grids, prev_meta)
         return step(decoder_params, opt_state, frozen_params, prev_batch,
                     pairing)
 
@@ -395,12 +479,13 @@ def make_train_step(
         state["pending"] = None
         if prev is None:
             return decoder_params, opt_state, None
-        prev_batch, prev_grids = prev
-        pairing = _pair(*prev_grids)
+        prev_batch, prev_grids, prev_meta = prev
+        pairing = _pair(*prev_grids, prev_meta)
         return step(decoder_params, opt_state, frozen_params, prev_batch,
                     pairing)
 
     topo_step_pipelined.flush = flush
+    topo_step_pipelined.set_host_batch = set_host_batch
     return topo_step_pipelined
 
 
@@ -756,6 +841,8 @@ def _training_impl(config: TrainConfig, logger: MultiLogger | None) -> dict:
                 shuffle=config.shuffle, seed=config.seed, epoch=epoch,
                 buckets=config.buckets, with_images=not use_cache,
             ):
+                if hasattr(train_step, "set_host_batch"):
+                    train_step.set_host_batch(batch)  # topo GT-diagram cache
                 db = device_batch(batch, train_emb, train_cm)
                 with timer:
                     decoder_params, opt_state, loss = train_step(

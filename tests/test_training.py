@@ -144,6 +144,29 @@ def test_training_topological(tmp_path, dataset_dir):
     assert np.isfinite(result["history"][0]["valid_loss"])
 
 
+def test_topo_true_cache_exact(tmp_path, dataset_dir):
+    """The cross-epoch GT-diagram cache is numerically EXACT: multi-epoch
+    topological training with the cache on (epoch 2+ skips the target
+    persistence and download) must produce identical per-epoch losses to
+    the uncached path (GT diagrams are constant across epochs)."""
+    on = _base_config(
+        tmp_path, dataset_dir, epochs=3, topological=True, topo_interp=16,
+        display_name="tcache_on", shuffle=False,
+    )
+    r_on = training(on)
+    off = _base_config(
+        tmp_path, dataset_dir, epochs=3, topological=True, topo_interp=16,
+        display_name="tcache_off", shuffle=False,
+    )
+    off.topo_true_cache = False
+    r_off = training(off)
+    for e_on, e_off in zip(r_on["history"], r_off["history"]):
+        np.testing.assert_allclose(e_on["train_loss"], e_off["train_loss"],
+                                   rtol=1e-6)
+        np.testing.assert_allclose(e_on["valid_loss"], e_off["valid_loss"],
+                                   rtol=1e-6)
+
+
 def test_topo_pipeline_first_step_exact_and_trains(tmp_path, dataset_dir):
     """topo_pipeline=True: the FIRST step's pairing is computed at the same
     params as the synchronous mode, so a single-batch epoch must produce an
