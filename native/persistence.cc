@@ -43,15 +43,50 @@ struct UnionFind {
 // on activation (the Alexander-duality H1 pass). Emits finite bars
 // (birth_idx, death_idx) into `bars`; returns essential birth index (or -1
 // when the essential is the outside node).
+// Stable LSD radix argsort by float value (same result as std::stable_sort
+// with a < comparator, including tie order by index). The float→uint32 key
+// transform is the standard total order: flip all bits of negatives, flip
+// only the sign bit of non-negatives. Replaces std::stable_sort, which
+// xplane/chrono attribution showed was ~85% of the whole persistence cost
+// at 50x50 (22 ms of a 26 ms 128-sort batch).
+void radix_argsort(const float* flat, int n, std::vector<int32_t>& order) {
+  // pack (ordered-key << 32) | index: LSD radix over the key bits only;
+  // stability of LSD keeps equal keys in index order (== stable_sort)
+  std::vector<uint64_t> a(n), tmp(n);
+  for (int i = 0; i < n; ++i) {
+    uint32_t b;
+    std::memcpy(&b, &flat[i], 4);
+    const uint32_t k = b ^ ((b >> 31) ? 0xFFFFFFFFu : 0x80000000u);
+    a[i] = (static_cast<uint64_t>(k) << 32) | static_cast<uint32_t>(i);
+  }
+  constexpr int BITS = 11;
+  constexpr int BUCKETS = 1 << BITS;
+  int32_t count[BUCKETS];
+  for (int shift = 32; shift < 64; shift += BITS) {
+    const int bits = shift + BITS > 64 ? 64 - shift : BITS;
+    const uint64_t mask = (1ull << bits) - 1;
+    std::fill(count, count + (1 << bits), 0);
+    for (int i = 0; i < n; ++i) ++count[(a[i] >> shift) & mask];
+    int32_t pos = 0;
+    for (int b = 0; b < (1 << bits); ++b) {
+      int32_t c = count[b];
+      count[b] = pos;
+      pos += c;
+    }
+    for (int i = 0; i < n; ++i) tmp[count[(a[i] >> shift) & mask]++] = a[i];
+    a.swap(tmp);
+  }
+  order.resize(n);
+  for (int i = 0; i < n; ++i)
+    order[i] = static_cast<int32_t>(a[i] & 0xFFFFFFFFu);
+}
+
 int32_t sublevel_h0(const float* flat, int h, int w, bool eight, bool outside,
                     std::vector<std::pair<int32_t, int32_t>>& bars) {
   const int n = h * w;
   const int32_t OUT = n;
-  std::vector<int32_t> order(n);
-  std::iota(order.begin(), order.end(), 0);
-  std::stable_sort(order.begin(), order.end(), [&](int32_t a, int32_t b) {
-    return flat[a] < flat[b];
-  });
+  std::vector<int32_t> order;
+  radix_argsort(flat, n, order);
   std::vector<int32_t> rank(n);
   for (int i = 0; i < n; ++i) rank[order[i]] = i;
 
