@@ -89,15 +89,20 @@ def main():
     paths_on = jax.tree_util.tree_flatten_with_path(g_on)[0]
     paths_off = jax.tree_util.tree_flatten_with_path(g_off)[0]
     rows = []
+    gmax = max(
+        float(np.abs(np.asarray(bb, np.float32)).max())
+        for _, bb in paths_off) or 1.0
     for (pa, a), (_, bb) in zip(paths_on, paths_off):
         a = np.asarray(a, np.float32)
         bb = np.asarray(bb, np.float32)
         mx = float(np.abs(bb).max())
         d = float(np.abs(a - bb).max())
-        # scale-aware: delta relative to the tensor's gradient magnitude,
-        # with the denominator FLOORED (not the delta discarded) so a
-        # spurious large gradient on a ~zero-gradient tensor still fails
-        rows.append((d / max(mx, 1e-3), d, mx, jax.tree_util.keystr(pa)))
+        # scale-aware: delta relative to the tensor's own gradient
+        # magnitude, with the denominator FLOORED at 1e-3 of the GLOBAL
+        # gradient scale (not discarded) — bf16 noise on zero-gradient
+        # tensors passes, but a spurious large gradient there still fails
+        rows.append((d / max(mx, 1e-3 * gmax), d, mx,
+                     jax.tree_util.keystr(pa)))
     rows.sort(reverse=True)
     print("largest SCALED grad deltas (delta/refmax, delta, refmax, tensor):")
     for s, d, mx, name in rows[:8]:
