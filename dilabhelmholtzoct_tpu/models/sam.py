@@ -160,6 +160,34 @@ def _kernel_mesh(batch_size: int):
     return kernel_mesh(batch_size)
 
 
+_FUSED_I2T = "auto"
+
+
+def set_fused_i2t(mode: str):
+    """mode ∈ {'auto', 'on', 'off', 'interpret'} — fused image→token
+    cross-attention + residual + LN (ops/decoder_attn.py)."""
+    global _FUSED_I2T
+    assert mode in ("auto", "on", "off", "interpret")
+    _FUSED_I2T = mode
+
+
+def _use_fused_i2t(dtype, n_tok: int, internal: int, nh: int,
+                   pe_batch: int) -> bool:
+    from ..ops.decoder_attn import T_PAD
+
+    if _FUSED_I2T == "off":
+        return False
+    ok = (n_tok <= T_PAD and internal % nh == 0 and pe_batch == 1)
+    if not ok:
+        return False
+    if _FUSED_I2T == "interpret":
+        return True
+    if _FUSED_I2T == "on":  # explicit force: any dtype (no erf inside)
+        return True
+    # auto: bf16 on accelerator; f32 stays on the parity-suite einsum path
+    return dtype == jnp.bfloat16 and jax.default_backend() != "cpu"
+
+
 _FUSED_UPSCALER = "auto"
 
 
@@ -582,6 +610,23 @@ def two_way_block(queries, keys, query_pe, key_pe, p, cfg: DecoderConfig, first)
     mlp = linear(jax.nn.relu(linear(queries, p["mlp1"])), p["mlp2"])
     queries = layer_norm(queries + mlp, p["ln3"], eps)
 
+    pp = p["cross_i2t"]
+    internal = pp["q"]["w"].shape[1]
+    pe_b = key_pe.shape[0] if hasattr(key_pe, "shape") else 0
+    if _use_fused_i2t(keys.dtype, queries.shape[1], internal,
+                      cfg.num_heads, pe_b):
+        # fused per-row chain (ops/decoder_attn.py): q-projection, ≤8-token
+        # multi-head attention, out-projection, residual, LN — the
+        # (BP, HW, ·) intermediates never reach HBM
+        from ..ops.decoder_attn import fused_i2t_ln
+
+        tok = queries + query_pe
+        keys = fused_i2t_ln(
+            keys, key_pe, linear(tok, pp["k"]), linear(queries, pp["v"]),
+            pp["q"], pp["out"], p["ln4"], nh=cfg.num_heads, pb=1, eps=eps,
+            interpret=(_FUSED_I2T == "interpret"),
+        )
+        return queries, keys
     q = queries + query_pe
     k = keys + key_pe
     keys = keys + _decoder_attention(k, q, queries, p["cross_i2t"], cfg.num_heads)
@@ -639,6 +684,22 @@ def _two_way_block_first_shared(queries, keys_img, query_pe, key_pe, p,
 
     # image→token cross-attention, shared q projection
     pp = p["cross_i2t"]
+    internal_i2t = pp["q"]["w"].shape[1]
+    if _use_fused_i2t(keys_img.dtype, t, internal_i2t, nh,
+                      key_pe.shape[0] if hasattr(key_pe, "shape") else 0):
+        # fused per-row chain; keys stays per-IMAGE at the kernel input
+        # (index-mapped b // pb) and the per-pair tensor first
+        # materializes as the kernel's residual output
+        from ..ops.decoder_attn import fused_i2t_ln
+
+        tok = queries + query_pe
+        keys = fused_i2t_ln(
+            keys_img, key_pe, linear(tok, pp["k"]),
+            linear(queries, pp["v"]), pp["q"], pp["out"], p["ln4"],
+            nh=nh, pb=pb, eps=eps,
+            interpret=(_FUSED_I2T == "interpret"),
+        )
+        return queries, keys
     tok = queries + query_pe
     qp = linear(k_img, pp["q"])  # (B, HW, internal)
     kp = linear(tok, pp["k"])

@@ -141,3 +141,52 @@ def test_flash_attention_dp_matches_unsharded(rng, mesh):
 
     np.testing.assert_allclose(float(v_dp), float(v_ref), rtol=1e-5)
     tree_allclose(g_dp, g_ref, atol=1e-4, rtol=1e-4)
+
+
+def test_fused_i2t_dp_matches_unsharded(rng, mesh):
+    """fused_i2t_ln under a kernel mesh: loss + ALL grads (incl. psum'd
+    weight/LN/positional grads) == the single-device kernel."""
+    from dilabhelmholtzoct_tpu.ops.decoder_attn import fused_i2t_ln
+
+    b, pb, m, c, internal, nh, n_tok = 8, 2, 64, 64, 32, 4, 7
+    bp = b * pb
+    keys = jnp.asarray(rng.normal(size=(b, m, c)).astype(np.float32))
+    pe = jnp.asarray(rng.normal(size=(1, m, c)).astype(np.float32))
+    tok_k = jnp.asarray(
+        rng.normal(size=(bp, n_tok, internal)).astype(np.float32))
+    tok_v = jnp.asarray(
+        rng.normal(size=(bp, n_tok, internal)).astype(np.float32))
+    q_p = {"w": jnp.asarray((rng.normal(size=(c, internal)) * 0.2
+                             ).astype(np.float32)),
+           "b": jnp.asarray(rng.normal(size=(internal,)).astype(np.float32))}
+    out_p = {"w": jnp.asarray((rng.normal(size=(internal, c)) * 0.2
+                               ).astype(np.float32)),
+             "b": jnp.asarray(rng.normal(size=(c,)).astype(np.float32))}
+    ln_p = {"scale": jnp.asarray(
+        (1 + rng.normal(size=(c,)) * 0.1).astype(np.float32)),
+        "bias": jnp.asarray(rng.normal(size=(c,)).astype(np.float32))}
+    ct = jnp.asarray(rng.normal(size=(bp, m, c)).astype(np.float32))
+
+    def loss(keys, pe, tok_k, tok_v, q_p, out_p, ln_p):
+        return jnp.sum(fused_i2t_ln(
+            keys, pe, tok_k, tok_v, q_p, out_p, ln_p, nh=nh, pb=pb,
+            interpret=True) * ct)
+
+    grad_fn = jax.jit(jax.value_and_grad(loss, argnums=tuple(range(7))))
+
+    set_kernel_mesh(None)
+    v_ref, g_ref = grad_fn(keys, pe, tok_k, tok_v, q_p, out_p, ln_p)
+    jax.block_until_ready((v_ref, g_ref))
+
+    set_kernel_mesh(mesh)
+    ds, rs = data_sharding(mesh), replicated(mesh)
+    put_d = lambda t: jax.device_put(t, ds)
+    put_r = lambda t: jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, rs), t)
+    v_dp, g_dp = grad_fn(put_d(keys), put_r(pe), put_d(tok_k),
+                         put_d(tok_v), put_r(q_p), put_r(out_p),
+                         put_r(ln_p))
+    jax.block_until_ready((v_dp, g_dp))
+
+    np.testing.assert_allclose(float(v_dp), float(v_ref), rtol=1e-5)
+    tree_allclose(g_dp, g_ref, atol=1e-4, rtol=1e-4)
