@@ -380,8 +380,62 @@ def make_train_step(
         return (use_true_cache and meta is not None and meta[0] is not None
                 and all(ix in true_cache for ix in meta[0]))
 
-    def _pair(pred50, true50, meta=None):
+    # Active-row gather: the host knows channel_mask, so inactive (bucket-
+    # padding) rows never need to cross the tunnel — the grids are gathered
+    # on device to a padded (R, interp, interp) buffer before the fetch.
+    # Sustained device->host transfers on this tunnel degrade to a few MB/s
+    # (docs/ROADMAP.md), so bytes, not latency, bound the pipelined step;
+    # topo_profile measured the grid fetch at p50 40.6 ms/step. Exact: the
+    # skipped rows' pairing entries are already zeroed/ignored (row_mask +
+    # channel_mask in the loss). R is padded to a multiple of 16 so the tiny
+    # gather program compiles for at most bucket*B/16 distinct shapes.
+    _gather_rows = jax.jit(
+        lambda g, idx: g.reshape((-1,) + g.shape[2:])[idx])
+
+    def _active_sel(cmask):
+        """(idx (R,) int32 padded, n_real) or None when nothing is saved."""
+        flat = cmask.reshape(-1)
+        rows = np.flatnonzero(flat > 0)
+        r_pad = max(16, -(-len(rows) // 16) * 16)
+        if r_pad >= flat.size:
+            return None
+        idx = np.zeros(r_pad, np.int32)
+        idx[:len(rows)] = rows
+        return idx, len(rows)
+
+    def _pair(pred50, true50, meta=None, sel=None):
         from ..ops.topology import host_pairing, true_diagrams_from_grids
+
+        if sel is not None:  # gathered cache-hit path: only active rows
+            idxs, cmask = meta
+            bucket = cmask.shape[1]
+            idx, n_real = sel
+            pred_sub = np.asarray(jax.device_get(pred50))  # (R, i, i)
+            rows = idx[:n_real]
+            diagrams = [
+                true_cache[idxs[r // bucket]][r % bucket]
+                if (r % bucket) < len(true_cache[idxs[r // bucket]])
+                else _empty_diag
+                for r in rows
+            ]
+            row_mask = (np.arange(len(idx)) < n_real).astype(np.float32)
+            sub = host_pairing(
+                pred_sub, None, feat_d=config.topo_feat_d,
+                true_diagrams=diagrams + [_empty_diag] * (len(idx) - n_real),
+                row_mask=row_mask,
+            )
+            n = cmask.size
+            k = sub["p_birth"].shape[1]
+            full = {
+                "p_birth": np.full((n, k), -1, np.int32),
+                "p_death": np.full((n, k), -1, np.int32),
+                "matched": np.zeros((n, k), np.int8),
+                "target": np.zeros((n, k, 2), np.float32),
+                "const_term": np.zeros((n,), np.float32),
+            }
+            for key in full:
+                full[key][rows] = sub[key][:n_real]
+            return jax.device_put(full)
 
         if meta is None or meta[0] is None or not use_true_cache:
             # legacy path (bench/profilers): both grids fetched, no cache
@@ -415,6 +469,13 @@ def make_train_step(
             )
             for bi, ix in enumerate(idxs):
                 cnt = int(cmask[bi].sum())
+                if cnt == 0 and ix in true_cache:
+                    # last-batch PADDING rows repeat index 0 with an
+                    # all-zero channel_mask (data/pipeline.py pad_last);
+                    # writing their empty slot list would clobber the real
+                    # sample's cached diagrams and silently drop its
+                    # const_term from every later epoch's loss
+                    continue
                 true_cache[ix] = [diagrams[bi * c + s] for s in range(cnt)]
         b, c = pred50.shape[:2]
         pairing = host_pairing(
@@ -425,16 +486,20 @@ def make_train_step(
         return jax.device_put(pairing)
 
     def _fwd_for_meta(decoder_params, frozen_params, batch, meta):
+        """Returns (pred_grids, true_grids_or_None, active_sel_or_None)."""
         if _cache_hit(meta):
-            return (fwd_grids_pred(decoder_params, frozen_params, batch),
-                    None)
-        return fwd_grids(decoder_params, frozen_params, batch)
+            pred = fwd_grids_pred(decoder_params, frozen_params, batch)
+            sel = _active_sel(meta[1])
+            if sel is not None:
+                pred = _gather_rows(pred, jnp.asarray(sel[0]))
+            return pred, None, sel
+        return (*fwd_grids(decoder_params, frozen_params, batch), None)
 
     def topo_step(decoder_params, opt_state, frozen_params, batch):
         meta = host_meta["cur"]
-        pred50, true50 = _fwd_for_meta(
+        pred50, true50, sel = _fwd_for_meta(
             decoder_params, frozen_params, batch, meta)
-        pairing = _pair(pred50, true50, meta)
+        pairing = _pair(pred50, true50, meta, sel)
         return step(decoder_params, opt_state, frozen_params, batch, pairing)
 
     if not config.topo_pipeline:
@@ -457,7 +522,7 @@ def make_train_step(
     def topo_step_pipelined(decoder_params, opt_state, frozen_params, batch):
         meta = host_meta["cur"]
         grids = _fwd_for_meta(decoder_params, frozen_params, batch, meta)
-        for g in grids:
+        for g in grids[:2]:
             # start the device->host transfer NOW so it overlaps the next
             # dispatches and the previous batch's host pairing; the later
             # device_get in _pair then returns without blocking on the
@@ -470,7 +535,8 @@ def make_train_step(
         if prev is None:
             return decoder_params, opt_state, None
         prev_batch, prev_grids, prev_meta = prev
-        pairing = _pair(*prev_grids, prev_meta)
+        pairing = _pair(prev_grids[0], prev_grids[1], prev_meta,
+                        prev_grids[2])
         return step(decoder_params, opt_state, frozen_params, prev_batch,
                     pairing)
 
@@ -480,7 +546,8 @@ def make_train_step(
         if prev is None:
             return decoder_params, opt_state, None
         prev_batch, prev_grids, prev_meta = prev
-        pairing = _pair(*prev_grids, prev_meta)
+        pairing = _pair(prev_grids[0], prev_grids[1], prev_meta,
+                        prev_grids[2])
         return step(decoder_params, opt_state, frozen_params, prev_batch,
                     pairing)
 

@@ -59,6 +59,52 @@ def test_python_fallback_matches_reference(monkeypatch):
         assert got == set(map(tuple, ref["h1"]))
 
 
+@pytest.mark.skipif(not native.have_native(), reason="native lib unavailable")
+@pytest.mark.parametrize("feat_d", [0, 1])
+@pytest.mark.parametrize("case", ["blobs", "noise", "empty-pred-side"])
+def test_native_matching_equals_python_loop(case, feat_d, monkeypatch):
+    """wasserstein_match_batch (C++ JV) vs the Python scipy loop.
+
+    On continuous random data (no cost ties) the matching is unique, so
+    every output array must be equal; const_term may differ by f32
+    summation order when MANY true bars go unmatched (noise case), bounded
+    at ulp level.
+    """
+    from dilabhelmholtzoct_tpu.ops import topology as T
+
+    rng = np.random.default_rng(hash((case, feat_d)) % 2**31)
+    n = 12
+    pred = rng.uniform(0.1, 0.9, (n, 24, 24)).astype(np.float32)
+    if case == "noise":
+        true = rng.uniform(0, 1, (n, 24, 24)).astype(np.float32)
+    elif case == "empty-pred-side":
+        # constant pred grids -> zero pred bars; all true bars unmatched
+        pred = np.full((n, 24, 24), 0.5, np.float32)
+        true = rng.uniform(0, 1, (n, 24, 24)).astype(np.float32)
+    else:
+        true = np.zeros((n, 24, 24), np.float32)
+        for i in range(n):
+            y, x = rng.integers(2, 12, 2)
+            h, w = rng.integers(5, 10, 2)
+            true[i, y:y + h, x:x + w] = 1.0
+            true[i, y + 2, x + 2] = 0.0  # pinhole -> one H1 bar
+    td = T.true_diagrams_from_grids(true, feat_d)
+    row_mask = (rng.uniform(size=n) > 0.2).astype(np.float32)
+
+    got = T._host_pairs_and_matching(
+        pred, None, feat_d, 2.0, 128, true_diagrams=td, row_mask=row_mask)
+    monkeypatch.setattr(T, "wasserstein_match_batch", lambda *a, **k: None)
+    want = T._host_pairs_and_matching(
+        pred, None, feat_d, 2.0, 128, true_diagrams=td, row_mask=row_mask)
+
+    names = ("p_birth", "p_death", "matched", "target", "const_term")
+    for name, a, b in zip(names, got, want):
+        if name == "const_term":
+            np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+        else:
+            np.testing.assert_array_equal(a, b, err_msg=name)
+
+
 @pytest.mark.parametrize("seed", range(5))
 def test_native_ccl_matches_scipy(seed):
     from scipy import ndimage

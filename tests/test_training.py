@@ -144,19 +144,25 @@ def test_training_topological(tmp_path, dataset_dir):
     assert np.isfinite(result["history"][0]["valid_loss"])
 
 
-def test_topo_true_cache_exact(tmp_path, dataset_dir):
+@pytest.mark.parametrize("batch_size", [2, 4])
+def test_topo_true_cache_exact(tmp_path, dataset_dir, batch_size):
     """The cross-epoch GT-diagram cache is numerically EXACT: multi-epoch
     topological training with the cache on (epoch 2+ skips the target
     persistence and download) must produce identical per-epoch losses to
-    the uncached path (GT diagrams are constant across epochs)."""
+    the uncached path (GT diagrams are constant across epochs).
+
+    batch_size=4 on the 6-image train split exercises two regressions:
+    last-batch PADDING rows (indices repeat 0 with zero channel_mask —
+    they must not clobber sample 0's cached diagrams) and the active-row
+    gather (the padded batch fetches only active grid rows)."""
     on = _base_config(
         tmp_path, dataset_dir, epochs=3, topological=True, topo_interp=16,
-        display_name="tcache_on", shuffle=False,
+        display_name="tcache_on", shuffle=False, batch_size=batch_size,
     )
     r_on = training(on)
     off = _base_config(
         tmp_path, dataset_dir, epochs=3, topological=True, topo_interp=16,
-        display_name="tcache_off", shuffle=False,
+        display_name="tcache_off", shuffle=False, batch_size=batch_size,
     )
     off.topo_true_cache = False
     r_off = training(off)
