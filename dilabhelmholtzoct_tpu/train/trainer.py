@@ -247,6 +247,143 @@ def _loss_from_masks(masks, batch, config: TrainConfig, pairing=None):
     return loss
 
 
+_EMPTY_DIAG = np.zeros((0, 2), np.float32)
+
+# Active-row gather: the host knows channel_mask, so inactive (bucket-
+# padding) rows never need to cross the tunnel — the grids are gathered
+# on device to a padded (R, interp, interp) buffer before the fetch.
+# Sustained device->host transfers on this tunnel degrade to a few MB/s
+# (docs/ROADMAP.md), so bytes, not latency, bound the pipelined step;
+# topo_profile measured the grid fetch at p50 40.6 ms/step. Exact: the
+# skipped rows' pairing entries are already zeroed/ignored (row_mask +
+# channel_mask in the loss). R is padded to a multiple of 16 so the tiny
+# gather program compiles for at most bucket*B/16 distinct shapes.
+_gather_rows = jax.jit(lambda g, idx: g.reshape((-1,) + g.shape[2:])[idx])
+
+
+class _TopoHostPairer:
+    """Host half of the two-phase topological protocol, shared by the train
+    and eval steps: cross-epoch GT-diagram cache (exact — the targets are
+    component masks from the extraction cache, constant across epochs;
+    prompts re-jitter but GT does not; disabled under augmentation, where GT
+    masks change per epoch), bucket-padding row skip via row_mask, and the
+    active-row device gather above. Callers feed the HOST batch (sample
+    indices + channel mask) through ``set_host_batch`` before each step;
+    bench/profiler callers that skip this get the legacy no-cache path."""
+
+    def __init__(self, config: TrainConfig):
+        self.config = config
+        self.use_cache = config.topo_true_cache and not config.data_transforms
+        self.cache: dict[int, list] = {}
+        self.meta = None
+
+    def set_host_batch(self, batch):
+        idxs = batch.get("indices")
+        self.meta = (
+            None if idxs is None else [int(i) for i in np.asarray(idxs)],
+            np.asarray(batch["channel_mask"]),
+        )
+
+    def cache_hit(self, meta):
+        return (self.use_cache and meta is not None and meta[0] is not None
+                and all(ix in self.cache for ix in meta[0]))
+
+    @staticmethod
+    def active_sel(cmask):
+        """(idx (R,) int32 padded, n_real) or None when nothing is saved."""
+        flat = cmask.reshape(-1)
+        rows = np.flatnonzero(flat > 0)
+        r_pad = max(16, -(-len(rows) // 16) * 16)
+        if r_pad >= flat.size:
+            return None
+        idx = np.zeros(r_pad, np.int32)
+        idx[:len(rows)] = rows
+        return idx, len(rows)
+
+    def pair(self, pred50, true50, meta=None, sel=None):
+        from ..ops.topology import host_pairing, true_diagrams_from_grids
+
+        config = self.config
+        if sel is not None:  # gathered cache-hit path: only active rows
+            idxs, cmask = meta
+            bucket = cmask.shape[1]
+            idx, n_real = sel
+            pred_sub = np.asarray(jax.device_get(pred50))  # (R, i, i)
+            rows = idx[:n_real]
+            diagrams = [
+                self.cache[idxs[r // bucket]][r % bucket]
+                if (r % bucket) < len(self.cache[idxs[r // bucket]])
+                else _EMPTY_DIAG
+                for r in rows
+            ]
+            row_mask = (np.arange(len(idx)) < n_real).astype(np.float32)
+            sub = host_pairing(
+                pred_sub, None, feat_d=config.topo_feat_d,
+                true_diagrams=diagrams + [_EMPTY_DIAG] * (len(idx) - n_real),
+                row_mask=row_mask,
+            )
+            n = cmask.size
+            k = sub["p_birth"].shape[1]
+            full = {
+                "p_birth": np.full((n, k), -1, np.int32),
+                "p_death": np.full((n, k), -1, np.int32),
+                "matched": np.zeros((n, k), np.int8),
+                "target": np.zeros((n, k, 2), np.float32),
+                "const_term": np.zeros((n,), np.float32),
+            }
+            for key in full:
+                full[key][rows] = sub[key][:n_real]
+            return jax.device_put(full)
+
+        if meta is None or meta[0] is None or not self.use_cache:
+            # legacy path (bench/profilers): both grids fetched, no cache
+            pred50, true50 = jax.device_get((pred50, true50))
+            b, c = pred50.shape[:2]
+            pairing = host_pairing(
+                pred50.reshape(b * c, *pred50.shape[2:]),
+                true50.reshape(b * c, *true50.shape[2:]),
+                feat_d=config.topo_feat_d,
+                row_mask=(meta[1].reshape(-1) if meta is not None else None),
+            )
+            return jax.device_put(pairing)
+
+        idxs, cmask = meta
+        bucket = cmask.shape[1]
+        if true50 is None:  # cache hit: assemble per-row GT diagrams
+            pred50 = np.asarray(jax.device_get(pred50))
+            diagrams = []
+            for ix in idxs:
+                slots = self.cache[ix]
+                diagrams.extend(
+                    slots[s] if s < len(slots) else _EMPTY_DIAG
+                    for s in range(bucket)
+                )
+        else:  # miss: compute once, fill the cache
+            pred50, true50 = jax.device_get((pred50, true50))
+            b, c = pred50.shape[:2]
+            diagrams = true_diagrams_from_grids(
+                true50.reshape(b * c, *true50.shape[2:]),
+                config.topo_feat_d,
+            )
+            for bi, ix in enumerate(idxs):
+                cnt = int(cmask[bi].sum())
+                if cnt == 0 and ix in self.cache:
+                    # last-batch PADDING rows repeat index 0 with an
+                    # all-zero channel_mask (data/pipeline.py pad_last);
+                    # writing their empty slot list would clobber the real
+                    # sample's cached diagrams and silently drop its
+                    # const_term from every later epoch's loss
+                    continue
+                self.cache[ix] = [diagrams[bi * c + s] for s in range(cnt)]
+        b, c = pred50.shape[:2]
+        pairing = host_pairing(
+            pred50.reshape(b * c, *pred50.shape[2:]), None,
+            feat_d=config.topo_feat_d, true_diagrams=diagrams,
+            row_mask=cmask.reshape(-1),
+        )
+        return jax.device_put(pairing)
+
+
 def make_train_step(
     cfg: SamConfig,
     config: TrainConfig,
@@ -356,154 +493,27 @@ def make_train_step(
             jax.nn.sigmoid(masks.astype(jnp.float32)), config.topo_interp
         )
 
-    # Cross-epoch GT-diagram cache (exact: the targets are constant —
-    # component masks from the extraction cache; prompts re-jitter but GT
-    # does not). Keyed by dataset sample index; stores the per-slot
-    # diagram VALUES (true_diagrams_from_grids). Disabled under
-    # augmentation, where GT masks change per epoch.
-    use_true_cache = config.topo_true_cache and not config.data_transforms
-    true_cache: dict[int, list] = {}
-    host_meta = {"cur": None}
-    _empty_diag = np.zeros((0, 2), np.float32)
-
-    def set_host_batch(batch):
-        """Side channel: the trainer passes the HOST batch (sample indices
-        + channel mask) before each step; bench/profile callers that skip
-        this get the legacy no-cache path."""
-        idxs = batch.get("indices")
-        host_meta["cur"] = (
-            None if idxs is None else [int(i) for i in np.asarray(idxs)],
-            np.asarray(batch["channel_mask"]),
-        )
-
-    def _cache_hit(meta):
-        return (use_true_cache and meta is not None and meta[0] is not None
-                and all(ix in true_cache for ix in meta[0]))
-
-    # Active-row gather: the host knows channel_mask, so inactive (bucket-
-    # padding) rows never need to cross the tunnel — the grids are gathered
-    # on device to a padded (R, interp, interp) buffer before the fetch.
-    # Sustained device->host transfers on this tunnel degrade to a few MB/s
-    # (docs/ROADMAP.md), so bytes, not latency, bound the pipelined step;
-    # topo_profile measured the grid fetch at p50 40.6 ms/step. Exact: the
-    # skipped rows' pairing entries are already zeroed/ignored (row_mask +
-    # channel_mask in the loss). R is padded to a multiple of 16 so the tiny
-    # gather program compiles for at most bucket*B/16 distinct shapes.
-    _gather_rows = jax.jit(
-        lambda g, idx: g.reshape((-1,) + g.shape[2:])[idx])
-
-    def _active_sel(cmask):
-        """(idx (R,) int32 padded, n_real) or None when nothing is saved."""
-        flat = cmask.reshape(-1)
-        rows = np.flatnonzero(flat > 0)
-        r_pad = max(16, -(-len(rows) // 16) * 16)
-        if r_pad >= flat.size:
-            return None
-        idx = np.zeros(r_pad, np.int32)
-        idx[:len(rows)] = rows
-        return idx, len(rows)
-
-    def _pair(pred50, true50, meta=None, sel=None):
-        from ..ops.topology import host_pairing, true_diagrams_from_grids
-
-        if sel is not None:  # gathered cache-hit path: only active rows
-            idxs, cmask = meta
-            bucket = cmask.shape[1]
-            idx, n_real = sel
-            pred_sub = np.asarray(jax.device_get(pred50))  # (R, i, i)
-            rows = idx[:n_real]
-            diagrams = [
-                true_cache[idxs[r // bucket]][r % bucket]
-                if (r % bucket) < len(true_cache[idxs[r // bucket]])
-                else _empty_diag
-                for r in rows
-            ]
-            row_mask = (np.arange(len(idx)) < n_real).astype(np.float32)
-            sub = host_pairing(
-                pred_sub, None, feat_d=config.topo_feat_d,
-                true_diagrams=diagrams + [_empty_diag] * (len(idx) - n_real),
-                row_mask=row_mask,
-            )
-            n = cmask.size
-            k = sub["p_birth"].shape[1]
-            full = {
-                "p_birth": np.full((n, k), -1, np.int32),
-                "p_death": np.full((n, k), -1, np.int32),
-                "matched": np.zeros((n, k), np.int8),
-                "target": np.zeros((n, k, 2), np.float32),
-                "const_term": np.zeros((n,), np.float32),
-            }
-            for key in full:
-                full[key][rows] = sub[key][:n_real]
-            return jax.device_put(full)
-
-        if meta is None or meta[0] is None or not use_true_cache:
-            # legacy path (bench/profilers): both grids fetched, no cache
-            pred50, true50 = jax.device_get((pred50, true50))
-            b, c = pred50.shape[:2]
-            pairing = host_pairing(
-                pred50.reshape(b * c, *pred50.shape[2:]),
-                true50.reshape(b * c, *true50.shape[2:]),
-                feat_d=config.topo_feat_d,
-                row_mask=(meta[1].reshape(-1) if meta is not None else None),
-            )
-            return jax.device_put(pairing)
-
-        idxs, cmask = meta
-        bucket = cmask.shape[1]
-        if true50 is None:  # cache hit: assemble per-row GT diagrams
-            pred50 = np.asarray(jax.device_get(pred50))
-            diagrams = []
-            for ix in idxs:
-                slots = true_cache[ix]
-                diagrams.extend(
-                    slots[s] if s < len(slots) else _empty_diag
-                    for s in range(bucket)
-                )
-        else:  # miss: compute once, fill the cache
-            pred50, true50 = jax.device_get((pred50, true50))
-            b, c = pred50.shape[:2]
-            diagrams = true_diagrams_from_grids(
-                true50.reshape(b * c, *true50.shape[2:]),
-                config.topo_feat_d,
-            )
-            for bi, ix in enumerate(idxs):
-                cnt = int(cmask[bi].sum())
-                if cnt == 0 and ix in true_cache:
-                    # last-batch PADDING rows repeat index 0 with an
-                    # all-zero channel_mask (data/pipeline.py pad_last);
-                    # writing their empty slot list would clobber the real
-                    # sample's cached diagrams and silently drop its
-                    # const_term from every later epoch's loss
-                    continue
-                true_cache[ix] = [diagrams[bi * c + s] for s in range(cnt)]
-        b, c = pred50.shape[:2]
-        pairing = host_pairing(
-            pred50.reshape(b * c, *pred50.shape[2:]), None,
-            feat_d=config.topo_feat_d, true_diagrams=diagrams,
-            row_mask=cmask.reshape(-1),
-        )
-        return jax.device_put(pairing)
+    pairer = _TopoHostPairer(config)
 
     def _fwd_for_meta(decoder_params, frozen_params, batch, meta):
         """Returns (pred_grids, true_grids_or_None, active_sel_or_None)."""
-        if _cache_hit(meta):
+        if pairer.cache_hit(meta):
             pred = fwd_grids_pred(decoder_params, frozen_params, batch)
-            sel = _active_sel(meta[1])
+            sel = pairer.active_sel(meta[1])
             if sel is not None:
                 pred = _gather_rows(pred, jnp.asarray(sel[0]))
             return pred, None, sel
         return (*fwd_grids(decoder_params, frozen_params, batch), None)
 
     def topo_step(decoder_params, opt_state, frozen_params, batch):
-        meta = host_meta["cur"]
+        meta = pairer.meta
         pred50, true50, sel = _fwd_for_meta(
             decoder_params, frozen_params, batch, meta)
-        pairing = _pair(pred50, true50, meta, sel)
+        pairing = pairer.pair(pred50, true50, meta, sel)
         return step(decoder_params, opt_state, frozen_params, batch, pairing)
 
     if not config.topo_pipeline:
-        topo_step.set_host_batch = set_host_batch
+        topo_step.set_host_batch = pairer.set_host_batch
         return topo_step
 
     # Pipelined (opt-in) topological mode: one-batch delay. Batch k's
@@ -520,12 +530,12 @@ def make_train_step(
     state = {"pending": None}
 
     def topo_step_pipelined(decoder_params, opt_state, frozen_params, batch):
-        meta = host_meta["cur"]
+        meta = pairer.meta
         grids = _fwd_for_meta(decoder_params, frozen_params, batch, meta)
         for g in grids[:2]:
             # start the device->host transfer NOW so it overlaps the next
             # dispatches and the previous batch's host pairing; the later
-            # device_get in _pair then returns without blocking on the
+            # device_get in pair() then returns without blocking on the
             # tunnel (~1.3 MB of 50x50 grids costs ~50 ms synchronously
             # at fresh-tunnel rates)
             if g is not None and hasattr(g, "copy_to_host_async"):
@@ -535,8 +545,8 @@ def make_train_step(
         if prev is None:
             return decoder_params, opt_state, None
         prev_batch, prev_grids, prev_meta = prev
-        pairing = _pair(prev_grids[0], prev_grids[1], prev_meta,
-                        prev_grids[2])
+        pairing = pairer.pair(prev_grids[0], prev_grids[1], prev_meta,
+                              prev_grids[2])
         return step(decoder_params, opt_state, frozen_params, prev_batch,
                     pairing)
 
@@ -546,13 +556,13 @@ def make_train_step(
         if prev is None:
             return decoder_params, opt_state, None
         prev_batch, prev_grids, prev_meta = prev
-        pairing = _pair(prev_grids[0], prev_grids[1], prev_meta,
-                        prev_grids[2])
+        pairing = pairer.pair(prev_grids[0], prev_grids[1], prev_meta,
+                              prev_grids[2])
         return step(decoder_params, opt_state, frozen_params, prev_batch,
                     pairing)
 
     topo_step_pipelined.flush = flush
-    topo_step_pipelined.set_host_batch = set_host_batch
+    topo_step_pipelined.set_host_batch = pairer.set_host_batch
     return topo_step_pipelined
 
 
@@ -579,34 +589,56 @@ def make_eval_step(cfg, config: TrainConfig, orig_hw, from_embeddings: bool):
     def loss_plain(masks, batch):
         return _loss_from_masks(masks, batch, config, None)
 
-    def step(decoder_params, frozen_params, batch):
-        masks = masks_fn(decoder_params, frozen_params, batch)
-        if not config.topological:
+    if not config.topological:
+        def step(decoder_params, frozen_params, batch):
+            masks = masks_fn(decoder_params, frozen_params, batch)
             return loss_plain(masks, batch)
-        from ..ops.topology import (
-            downsample_for_topo,
-            host_pairing,
-            topo_loss_from_pairing,
-        )
+
+        return step
+
+    # Topological validation shares the train side's host-pairing machinery
+    # (its own _TopoHostPairer instance, so valid-set sample indices never
+    # collide with train's): GT diagrams are cached across epochs, padding
+    # rows are skipped via row_mask, and cache-hit batches gather + fetch
+    # only active pred rows. Callers opt in with set_host_batch (the epoch
+    # loop does); without it the legacy both-grids path runs, as before.
+    pairer = _TopoHostPairer(config)
+
+    @jax.jit
+    def grids_both(masks, batch):
+        from ..ops.topology import downsample_for_topo
 
         pred = jax.nn.sigmoid(masks.astype(jnp.float32))
         gt_masks = gt_masks_from_comp_map(batch["comp_map"], masks.shape[1])
-        pred50, true50 = downsample_for_topo(
-            pred, gt_masks, config.topo_interp
-        )
-        b, c = pred50.shape[:2]
-        pairing = host_pairing(
-            np.asarray(pred50).reshape(b * c, *pred50.shape[2:]),
-            np.asarray(true50).reshape(b * c, *true50.shape[2:]),
-            feat_d=config.topo_feat_d,
-        )
-        pairing = {k: jnp.asarray(v) for k, v in pairing.items()}
-        loss = loss_plain(masks, batch)
-        return loss + topo_loss_from_pairing(
-            pred, pairing, config.topo_lamda, interp=config.topo_interp,
-            channel_mask=batch["channel_mask"],
+        return downsample_for_topo(pred, gt_masks, config.topo_interp)
+
+    @jax.jit
+    def grids_pred(masks):
+        from ..ops.topology import downsample_grid
+
+        return downsample_grid(
+            jax.nn.sigmoid(masks.astype(jnp.float32)), config.topo_interp
         )
 
+    @jax.jit
+    def loss_total(masks, batch, pairing):
+        return _loss_from_masks(masks, batch, config, pairing)
+
+    def step(decoder_params, frozen_params, batch):
+        masks = masks_fn(decoder_params, frozen_params, batch)
+        meta = pairer.meta
+        if pairer.cache_hit(meta):
+            pred50 = grids_pred(masks)
+            sel = pairer.active_sel(meta[1])
+            if sel is not None:
+                pred50 = _gather_rows(pred50, jnp.asarray(sel[0]))
+            pairing = pairer.pair(pred50, None, meta, sel)
+        else:
+            pred50, true50 = grids_both(masks, batch)
+            pairing = pairer.pair(pred50, true50, meta)
+        return loss_total(masks, batch, pairing)
+
+    step.set_host_batch = pairer.set_host_batch
     return step
 
 
@@ -942,6 +974,8 @@ def _training_impl(config: TrainConfig, logger: MultiLogger | None) -> dict:
             valid_ds, config.batch_size, epoch=epoch, buckets=config.buckets,
             with_images=not use_cache,
         ):
+            if hasattr(eval_step, "set_host_batch"):
+                eval_step.set_host_batch(batch)  # topo GT-diagram cache
             db = device_batch(batch, valid_emb, valid_cm)
             vlosses.append(eval_step(decoder_params, frozen_params, db))
         vtotal = float(np.sum(jax.device_get(jnp.stack(vlosses)))) \
