@@ -84,8 +84,11 @@ class PromptedDataset:
         return image
 
     def _rng(self, idx: int) -> np.random.Generator:
+        # SeedSequence hash-mixes the three keys: a linear combination like
+        # seed*K1 + epoch*K2 + idx collides across epochs once the dataset
+        # outgrows K2 (item i at epoch e+1 replays item i+K2's stream at e)
         return np.random.default_rng(
-            (self._seed * 1_000_003 + self._epoch * 7919 + int(idx)) & 0x7FFFFFFF
+            np.random.SeedSequence([self._seed, self._epoch, int(idx)])
         )
 
     def _label(self, idx: int) -> np.ndarray:
@@ -199,6 +202,10 @@ def batches(
                 batch[k] = np.concatenate(
                     [v, np.zeros((pad, *v.shape[1:]), v.dtype)]
                 )
+            # pad rows get a -1 sentinel index, NOT 0 (a real sample id):
+            # an indices consumer that forgets to check channel_mask should
+            # fail loudly instead of silently double-counting sample 0
+            batch["indices"][len(idx_chunk):] = -1
         return batch
 
     with concurrent.futures.ThreadPoolExecutor(num_workers) as pool:

@@ -39,11 +39,47 @@ from ..ops.preprocess import preprocess_image, rescale_boxes, rescale_coords
 NO_BEST_WORST_SAMPLES = 3
 
 
-def _bucket(n, buckets=(4, 8, 16, 32, 64)):
-    for b in buckets:
-        if n <= b:
-            return b
-    return buckets[-1]
+def _bucket(n):
+    # one source of truth with training collation, plus a small eval-only
+    # first bucket (single-digit prompt counts are common per-sample here)
+    from ..data.sampling import DEFAULT_BUCKETS, bucket_for
+
+    return bucket_for(n, buckets=(4,) + DEFAULT_BUCKETS)
+
+
+def make_batch_infer_fns(cfg, config, orig_hw):
+    """Jitted batched decode: (B-row embeddings, prompts) → (B, C, H, W)
+    sigmoid probabilities. The ONE implementation of the eval inference
+    math — the per-sample path wraps these on a size-1 batch, so the two
+    paths cannot drift apart.
+
+    NB: params must be an explicit jit argument — closing over them bakes
+    ~90M weights into the graph as constants and compile time explodes."""
+    size = cfg.vision.image_size
+
+    @jax.jit
+    def batch_boxes(p, emb, boxes):
+        out = sam_forward(
+            p, cfg, image_embeddings=emb,
+            boxes=rescale_boxes(boxes, orig_hw, size),
+            multimask_output=False,
+        )
+        masks = postprocess_masks(out["pred_masks"][:, :, 0], orig_hw,
+                                  model_size=size)
+        return jax.nn.sigmoid(masks)
+
+    @jax.jit
+    def batch_points(p, emb, points, labels):
+        out = sam_forward(
+            p, cfg, image_embeddings=emb,
+            points=rescale_coords(points, orig_hw, size), labels=labels,
+            multimask_output=False,
+        )
+        masks = postprocess_masks(out["pred_masks"][:, :, 0], orig_hw,
+                                  model_size=size)
+        return jax.nn.sigmoid(masks)
+
+    return batch_boxes, batch_points
 
 
 def make_infer_fn(params, cfg, config, orig_hw):
@@ -55,33 +91,18 @@ def make_infer_fn(params, cfg, config, orig_hw):
     size = cfg.vision.image_size
     g = cfg.prompt.image_embedding_size
 
-    # NB: params must be an explicit jit argument — closing over them bakes
-    # ~90M weights into the graph as constants and compile time explodes.
     @jax.jit
     def _embed(p, image):
         pix, _ = preprocess_image(image[None], target_size=size)
         return encode_image(p, pix, cfg)[0]
 
-    @jax.jit
-    def _run_boxes(p, emb, boxes):
-        out = sam_forward(
-            p, cfg, image_embeddings=emb[None],
-            boxes=rescale_boxes(boxes[None], orig_hw, size),
-            multimask_output=False,
-        )
-        masks = postprocess_masks(out["pred_masks"][:, :, 0], orig_hw, model_size=size)
-        return jax.nn.sigmoid(masks[0])
+    batch_boxes, batch_points = make_batch_infer_fns(cfg, config, orig_hw)
 
-    @jax.jit
+    def _run_boxes(p, emb, boxes):
+        return batch_boxes(p, emb[None], boxes[None])[0]
+
     def _run_points(p, emb, points, labels):
-        out = sam_forward(
-            p, cfg, image_embeddings=emb[None],
-            points=rescale_coords(points[None], orig_hw, size),
-            labels=labels[None],
-            multimask_output=False,
-        )
-        masks = postprocess_masks(out["pred_masks"][:, :, 0], orig_hw, model_size=size)
-        return jax.nn.sigmoid(masks[0])
+        return batch_points(p, emb[None], points[None], labels[None])[0]
 
     params = jax.tree_util.tree_map(jnp.asarray, params)
 
@@ -168,43 +189,33 @@ def evaluate_metrics(params, cfg, config, dataset, *, orig_hw, num_classes=14,
 
     import time as _time
 
-    size = cfg.vision.image_size
-
-    @jax.jit
-    def _batch_boxes(p, emb, boxes):
-        from ..models.sam import sam_forward as _fwd
-        from ..ops.preprocess import rescale_boxes as _rb
-
-        out = _fwd(p, cfg, image_embeddings=emb,
-                   boxes=_rb(boxes, orig_hw, size), multimask_output=False)
-        masks = postprocess_masks(out["pred_masks"][:, :, 0], orig_hw,
-                                  model_size=size)
-        return jax.nn.sigmoid(masks)
-
-    @jax.jit
-    def _batch_points(p, emb, points, labels):
-        from ..models.sam import sam_forward as _fwd
-        from ..ops.preprocess import rescale_coords as _rc
-
-        out = _fwd(p, cfg, image_embeddings=emb,
-                   points=_rc(points, orig_hw, size), labels=labels,
-                   multimask_output=False)
-        masks = postprocess_masks(out["pred_masks"][:, :, 0], orig_hw,
-                                  model_size=size)
-        return jax.nn.sigmoid(masks)
+    _batch_boxes, _batch_points = make_batch_infer_fns(cfg, config, orig_hw)
 
     def _batched_probs():
         """Batched inference over the whole split: one dispatch and ONE
         bulk device→host transfer per group of ``batch_encode`` samples —
         the per-sample path pays a tunnel round trip plus a small
-        (slow-ramp) download per image (measured 0.3-0.5 s each)."""
+        (slow-ramp) download per image (measured 0.3-0.5 s each).
+        Prompt sampling (component extraction, ~ms each on host) runs in a
+        prefetch thread so it overlaps device inference instead of
+        serializing the whole split up front with the TPU idle."""
+        import concurrent.futures
+
         bsz = max(int(batch_encode), 1)
         n_ds = len(dataset)
-        samples = [
-            dataset.sample(i) if hasattr(dataset, "sample")
-            else dataset[i][1]
-            for i in range(n_ds)
-        ]
+        get_sample = (
+            dataset.sample if hasattr(dataset, "sample")
+            else (lambda i: dataset[i][1])
+        )
+        pool = concurrent.futures.ThreadPoolExecutor(max_workers=2)
+        futs = [pool.submit(get_sample, i) for i in range(n_ds)]
+
+        class _Samples:
+            def __getitem__(self, i):
+                return futs[i].result()
+
+        samples = _Samples()
+        pool.shutdown(wait=False)  # workers keep draining the queue
         params_j = jax.tree_util.tree_map(jnp.asarray, params)
         for i0 in range(0, n_ds, bsz):
             group = list(range(i0, min(i0 + bsz, n_ds)))
@@ -252,14 +263,23 @@ def evaluate_metrics(params, cfg, config, dataset, *, orig_hw, num_classes=14,
         binary = (probs > 0.5).astype(np.uint8)
         for c in range(sample.n):
             v = int(sample.mask_values[c])
-            # stop-at-padded-zero parity (training_utils.py:128-131): value 0
-            # after position 0 terminated the reference's padded scan; our
-            # samples are unpadded, but background-0 still only occurs at c=0.
+            # Faithful replication of the reference's scan break
+            # (training_utils.py:128-131): `mask_values[c] == 0 and c > 0`.
+            # NB this is not only a padding guard — a sample whose
+            # background class 0 splits into multiple 8-connected
+            # components (possible when a layer spans the full width) puts
+            # a second value-0 entry at c=1 and the reference drops every
+            # later component of that sample from its metrics; we replicate
+            # that exactly (SURVEY.md "parity decisions").
             if v == 0 and c > 0:
                 break
             seg[v].append(binary[c])
             seg_probs[v].append(probs[c])
-            gts[v].append(sample.gt_masks[c])
+            # one (H, W) slice from the compact comp_map: indexing the
+            # gt_masks property here would rebuild the full (n, H, W)
+            # one-hot stack per component (O(n^2 H W) per sample) and pin
+            # each stack alive via the appended views
+            gts[v].append((sample.comp_map == c + 1).astype(np.float32))
             indexes[v].append(i)
 
     print(f"[eval] inference over {len(dataset)} samples: "

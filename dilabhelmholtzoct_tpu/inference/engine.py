@@ -67,15 +67,23 @@ class SegmentationEngine:
     # -- encoder cache -----------------------------------------------------
 
     def _embeddings(self, image: np.ndarray):
-        key = hashlib.sha1(np.ascontiguousarray(image)).hexdigest()
-        if key not in self._cache:
-            if len(self._cache) >= self.cache_size:
-                self._cache.pop(next(iter(self._cache)))
-            pix, _ = preprocess_image(
-                jnp.asarray(image[None]),
-                target_size=self.cfg.vision.image_size,
-            )
-            self._cache[key] = self._encode(self.params, pix)
+        # shape/dtype are part of the key (identical bytes reshaped are a
+        # different image); hits re-insert so eviction is LRU, not FIFO —
+        # alternating clicks across cache_size+1 images must not evict the
+        # image that was just reused
+        h = hashlib.sha1(str((image.shape, image.dtype.str)).encode())
+        h.update(np.ascontiguousarray(image))
+        key = h.hexdigest()
+        if key in self._cache:
+            self._cache[key] = self._cache.pop(key)
+            return self._cache[key]
+        if len(self._cache) >= self.cache_size:
+            self._cache.pop(next(iter(self._cache)))
+        pix, _ = preprocess_image(
+            jnp.asarray(image[None]),
+            target_size=self.cfg.vision.image_size,
+        )
+        self._cache[key] = self._encode(self.params, pix)
         return self._cache[key]
 
     # -- decode ------------------------------------------------------------
@@ -133,22 +141,34 @@ class SegmentationEngine:
         interactive-app path, which only overlays the binary mask —
         app.py:30) fetches just the uint8 mask: 4x fewer bytes and a
         single device→host transfer per click."""
+        from ..data.sampling import bucket_for
+
         orig_hw = image.shape[:2]
         emb = self._embeddings(image)
         prompt = np.asarray(prompt, np.float32)
         if prompt.ndim == 1:
             prompt = prompt[None]
         n = len(prompt)
+        # pad the prompt count to a bucket so an interactive session adding
+        # one prompt per click compiles O(log n) decode programs, not one
+        # per count; each prompt decodes independently in SAM, so zero-pad
+        # rows are exact and their masks are sliced off device-side below
+        nb = bucket_for(n, buckets=(1, 2, 4, 8, 16, 32, 64))
         if prompt_type == "points":
-            prompts = prompt.reshape(n, 1, 2)
-            labels = np.ones((n, 1), np.int32)
+            prompts = np.zeros((nb, 1, 2), np.float32)
+            prompts[:n] = prompt.reshape(n, 1, 2)
+            labels = np.zeros((nb, 1), np.int32)
+            labels[:n] = 1
         else:
-            prompts = prompt.reshape(n, 4)
+            prompts = np.zeros((nb, 4), np.float32)
+            prompts[:n] = prompt.reshape(n, 4)
             labels = np.zeros((0,), np.int32)
         run = self._decode_fn(
-            "points" if prompt_type == "points" else "bbox", n, orig_hw
+            "points" if prompt_type == "points" else "bbox", nb, orig_hw
         )
         binary, probs = run(self.params, emb, prompts, labels)
+        if nb > n:  # lazy device-side slice rides the fetch's dispatch
+            binary, probs = binary[:n], probs[:n]
         if not with_probs:
             return np.asarray(jax.device_get(binary)), None
         # one bundled fetch for both outputs (per-array fetches each pay

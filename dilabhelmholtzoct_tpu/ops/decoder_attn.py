@@ -225,7 +225,7 @@ def _block_m(m: int) -> int:
     return m
 
 
-def _specs(bp, m, c, internal, cols, n_tok, bm, img_div, f32=jnp.float32):
+def _specs(c, internal, bm, img_div):
     """in_specs shared by fwd/bwd. img_div: keys/pe indexed per-image
     (b // img_div) — 1 for the per-pair layers, pb for the shared layer-1
     form where the residual base is still per-image."""
@@ -259,13 +259,12 @@ def _fused_fwd(interpret, eps, nh, img_div, n_tok, keys, pe, tok_k, tok_v,
     bimg, m, c = keys.shape
     bp = bimg * img_div
     internal = tok_k.shape[1]  # tok_k ships TRANSPOSED: (BP, internal, T_PAD)
-    cols = nh * T_PAD
     bm = _block_m(m)
     kernel = functools.partial(_fwd_kernel, nh=nh, n_tok=n_tok, eps=eps)
     out = pl.pallas_call(
         kernel,
         grid=(bp, m // bm),
-        in_specs=_specs(bp, m, c, internal, cols, n_tok, bm, img_div),
+        in_specs=_specs(c, internal, bm, img_div),
         out_specs=pl.BlockSpec((1, bm, c), lambda b, mm: (b, mm, 0)),
         out_shape=jax.ShapeDtypeStruct((bp, m, c), keys.dtype),
         interpret=interpret,
@@ -288,7 +287,7 @@ def _fused_bwd(interpret, eps, nh, img_div, n_tok, res, dy):
     outs = pl.pallas_call(
         kernel,
         grid=(bp, m // bm),
-        in_specs=_specs(bp, m, c, internal, cols, n_tok, bm, img_div)
+        in_specs=_specs(c, internal, bm, img_div)
         + [blocked(c)],
         out_specs=[
             blocked(c), blocked(internal), blocked(cols), blocked(cols),

@@ -150,13 +150,25 @@ def _host_pairs_and_matching(pred, true, feat_d, q, max_bars,
     k = max_bars
     dim = int(feat_d)
 
-    if true_diagrams is None:
-        true_diagrams = true_diagrams_from_grids(true, dim, k)
-
     if row_mask is not None:
         active = np.nonzero(np.asarray(row_mask).reshape(-1) > 0)[0]
     else:
         active = np.arange(n)
+
+    if true_diagrams is None:
+        if row_mask is None:
+            true_diagrams = true_diagrams_from_grids(true, dim, k)
+        else:
+            # target-side persistence only for active rows; inactive rows'
+            # pairing entries stay -1/0 and their loss is zeroed anyway
+            empty = np.zeros((0, 2), np.float32)
+            true_diagrams = [empty] * n
+            if len(active):
+                diags = true_diagrams_from_grids(
+                    np.asarray(true, np.float32)[active], dim, k
+                )
+                for j, i in enumerate(active):
+                    true_diagrams[i] = diags[j]
 
     p_birth = np.full((n, k), -1, np.int32)
     p_death = np.full((n, k), -1, np.int32)
@@ -293,6 +305,9 @@ def _reduce_topo(w_per, pred_g, pairing, lamda, loss_q, loss_r,
     else:
         loss = jnp.mean(jnp.sum(w_per, axis=1))
     if loss_r:
+        # total_persistence regularizer (topological_loss.py:88-94); the
+        # same masked reduction as the main term — bucket-padding channels
+        # must not contribute bars nor dilute the batch mean
         flat = pred_g.reshape(b * c, -1)
         valid = pairing["p_birth"] >= 0
         bvals = jnp.take_along_axis(
@@ -300,7 +315,14 @@ def _reduce_topo(w_per, pred_g, pairing, lamda, loss_q, loss_r,
         dvals = jnp.take_along_axis(
             flat, jnp.clip(pairing["p_death"], 0), axis=1)
         pers = jnp.where(valid, jnp.abs(dvals - bvals) ** float(loss_q), 0.0)
-        loss = loss + jnp.mean(jnp.sum(pers, axis=1))
+        pers_row = jnp.sum(pers, axis=1).reshape(b, c)
+        if channel_mask is not None:
+            pers_row = pers_row * cm
+            loss = loss + jnp.sum(
+                jnp.sum(pers_row, axis=1) * row_valid
+            ) / jnp.maximum(jnp.sum(row_valid), 1.0)
+        else:
+            loss = loss + jnp.mean(jnp.sum(pers_row, axis=1))
     return lamda * loss
 
 
@@ -346,12 +368,26 @@ def topo_loss(
         _host_pairs_and_matching, feat_d=feat_d, q=float(loss_q),
         max_bars=k,
     )
-    p_birth, p_death, matched, target, const_term = jax.pure_callback(
-        cb,
-        result_shapes,
-        jax.lax.stop_gradient(pred_g),
-        jax.lax.stop_gradient(true_g),
-    )
+    if channel_mask is not None:
+        # bucket-padding rows are zeroed by channel_mask downstream, so
+        # skip their host-side persistence + matching entirely (row_mask
+        # marks them; the host leaves their pairing rows at -1/0)
+        p_birth, p_death, matched, target, const_term = jax.pure_callback(
+            lambda p, t, m: cb(p, t, row_mask=m),
+            result_shapes,
+            jax.lax.stop_gradient(pred_g),
+            jax.lax.stop_gradient(true_g),
+            jax.lax.stop_gradient(
+                channel_mask.reshape(-1).astype(jnp.float32)
+            ),
+        )
+    else:
+        p_birth, p_death, matched, target, const_term = jax.pure_callback(
+            cb,
+            result_shapes,
+            jax.lax.stop_gradient(pred_g),
+            jax.lax.stop_gradient(true_g),
+        )
 
     w_per = _wasserstein_per_diagram(
         pred_g, p_birth, p_death, matched, target, const_term, float(loss_q)

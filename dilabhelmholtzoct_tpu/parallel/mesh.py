@@ -128,4 +128,8 @@ def pad_to_multiple(batch: dict, multiple: int, *, count_key="n_components"):
         out[k] = np.pad(v, pad_width)
     if "channel_mask" in out:
         out["channel_mask"][b:] = 0.0
+    if "indices" in out:
+        # -1 sentinel, same convention as the pipeline's last-batch padding
+        # (data/pipeline.py): pad rows must never alias sample 0
+        out["indices"][b:] = -1
     return out, b

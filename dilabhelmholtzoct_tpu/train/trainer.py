@@ -225,6 +225,23 @@ def _forward_from_embeddings(
     return postprocess_masks_blocked(low_res, orig_hw, model_size=size)
 
 
+def _cast_floats(tree, dtype):
+    """Mixed precision: master params stay f32 (optimizer math); all forward
+    compute runs in ``compute_dtype``. Inside a grad closure the cast makes
+    gradients arrive back in f32. Must be applied to EVERY forward's params
+    (train loss, topo phase A, eval): f32 leaves promote every activation
+    back to f32 and silently bypass the bf16-gated fused Pallas kernels —
+    round 1's 'bf16' benchmark actually measured f32 because only
+    pixel_values were cast."""
+    if dtype == jnp.float32:
+        return tree
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        tree,
+    )
+
+
 def _loss_from_masks(masks, batch, config: TrainConfig, pairing=None):
     """DiceCE (+ topological) loss. The topological term uses the two-phase
     pairing protocol (ops/topology.py): the combinatorial pairing arrives
@@ -285,8 +302,17 @@ class _TopoHostPairer:
         )
 
     def cache_hit(self, meta):
-        return (self.use_cache and meta is not None and meta[0] is not None
-                and all(ix in self.cache for ix in meta[0]))
+        if not (self.use_cache and meta is not None
+                and meta[0] is not None):
+            return False
+        # padding rows (index sentinel -1, all-zero channel_mask) need no
+        # cached diagrams — requiring them would keep every padded batch on
+        # the miss path forever
+        counts = np.asarray(meta[1]).sum(axis=1)
+        return all(
+            ix in self.cache
+            for ix, cnt in zip(meta[0], counts) if cnt > 0
+        )
 
     @staticmethod
     def active_sel(cmask):
@@ -353,7 +379,9 @@ class _TopoHostPairer:
             pred50 = np.asarray(jax.device_get(pred50))
             diagrams = []
             for ix in idxs:
-                slots = self.cache[ix]
+                # .get: padding rows (ix == -1, zero channel_mask) have no
+                # cache entry; their empty diagrams are row_mask-inert
+                slots = self.cache.get(ix, [])
                 diagrams.extend(
                     slots[s] if s < len(slots) else _EMPTY_DIAG
                     for s in range(bucket)
@@ -367,12 +395,13 @@ class _TopoHostPairer:
             )
             for bi, ix in enumerate(idxs):
                 cnt = int(cmask[bi].sum())
-                if cnt == 0 and ix in self.cache:
-                    # last-batch PADDING rows repeat index 0 with an
-                    # all-zero channel_mask (data/pipeline.py pad_last);
-                    # writing their empty slot list would clobber the real
-                    # sample's cached diagrams and silently drop its
-                    # const_term from every later epoch's loss
+                if cnt == 0:
+                    # PADDING rows (pipeline pad_last / DP pad_host_batch)
+                    # carry index 0 with an all-zero channel_mask. Never
+                    # cache them: overwriting would clobber sample 0's real
+                    # diagrams, and even writing an empty list when sample 0
+                    # is not yet cached could later satisfy cache_hit with
+                    # wrong (empty) diagrams for the real sample 0.
                     continue
                 self.cache[ix] = [diagrams[bi * c + s] for s in range(cnt)]
         b, c = pred50.shape[:2]
@@ -401,19 +430,7 @@ def make_train_step(
 
     train_encoder = config.trainable == "all"
 
-    def cast_tree(tree):
-        """Mixed precision: master params stay f32 (optimizer math); all
-        forward compute runs in ``compute_dtype``. The cast sits inside the
-        grad closure, so gradients arrive back in f32. Round-1 bug: only
-        pixel_values were cast — the f32 biases promoted every activation
-        back to f32 and the 'bf16' benchmark actually measured f32."""
-        if dtype == jnp.float32:
-            return tree
-        return jax.tree_util.tree_map(
-            lambda x: x.astype(dtype)
-            if jnp.issubdtype(x.dtype, jnp.floating) else x,
-            tree,
-        )
+    cast_tree = functools.partial(_cast_floats, dtype=dtype)
 
     def get_embeddings(decoder_params, frozen_params, batch):
         if from_embeddings:
@@ -464,9 +481,12 @@ def make_train_step(
     @jax.jit
     def fwd_grids(decoder_params, frozen_params, batch):
         embeddings = get_embeddings(decoder_params, frozen_params, batch)
+        # cast like loss_fn does: phase A must run at the same compute
+        # dtype as phase B so the host pairing is computed from the exact
+        # grids the loss consumes (and so bf16 keeps the fused kernels on)
         masks = _forward_from_embeddings(
-            decoder_params, frozen_params, cfg, embeddings, batch, orig_hw,
-            config.prompt_type,
+            cast_tree(decoder_params), cast_tree(frozen_params), cfg,
+            embeddings, batch, orig_hw, config.prompt_type,
         )
         from ..ops.topology import downsample_for_topo
 
@@ -484,8 +504,8 @@ def make_train_step(
         # download happens
         embeddings = get_embeddings(decoder_params, frozen_params, batch)
         masks = _forward_from_embeddings(
-            decoder_params, frozen_params, cfg, embeddings, batch, orig_hw,
-            config.prompt_type,
+            cast_tree(decoder_params), cast_tree(frozen_params), cfg,
+            embeddings, batch, orig_hw, config.prompt_type,
         )
         from ..ops.topology import downsample_grid
 
@@ -571,6 +591,12 @@ def make_eval_step(cfg, config: TrainConfig, orig_hw, from_embeddings: bool):
 
     @jax.jit
     def masks_fn(decoder_params, frozen_params, batch):
+        # same mixed-precision contract as the train step: without the
+        # cast, f32 master params promote every activation to f32 and the
+        # bf16-gated fused kernels are bypassed, making validation ~2x
+        # slower AND measured in a different precision than train loss
+        decoder_params = _cast_floats(decoder_params, dtype)
+        frozen_params = _cast_floats(frozen_params, dtype)
         if from_embeddings:
             embeddings = batch["embeddings"].astype(dtype)
         else:
@@ -851,6 +877,26 @@ def _training_impl(config: TrainConfig, logger: MultiLogger | None) -> dict:
         set_kernel_mesh(mesh)
         print(f"[dp] data-parallel over {n_dev} devices")
 
+    def pad_host_batch(batch):
+        """Under DP, pad the HOST batch to the device count before anything
+        else sees it: the topo pairer captures indices/channel_mask from
+        this same dict (set_host_batch in the epoch loop), so its geometry
+        must match the padded rows the device step consumes — sizing the
+        pairing arrays from an unpadded channel_mask while the step's masks
+        are padded would crash at trace time. Pad rows get index 0 with a
+        zero channel_mask (pad_to_multiple), the same convention as the
+        pipeline's last-batch padding; the pairer never caches or pairs
+        zero-count rows."""
+        if mesh is None:
+            return batch
+        padded, _ = pad_to_multiple(
+            {k: v for k, v in batch.items()
+             if k in ("prompts", "comp_map", "channel_mask", "point_labels",
+                      "indices", "image")},
+            len(jax.devices()),
+        )
+        return padded
+
     def device_batch(batch, emb, cm=None):
         keys = ("prompts", "comp_map", "channel_mask", "point_labels")
         if cm is not None:
@@ -858,13 +904,7 @@ def _training_impl(config: TrainConfig, logger: MultiLogger | None) -> dict:
             # gather rows there instead of uploading them
             keys = tuple(k for k in keys if k != "comp_map")
         if mesh is not None:
-            from ..parallel.mesh import pad_to_multiple
-
-            batch, _ = pad_to_multiple(
-                {k: v for k, v in batch.items()
-                 if k in keys + ("indices", "image")},
-                len(jax.devices()),
-            )
+            # batch arrives already padded (pad_host_batch)
             n_rows = next(iter(batch.values())).shape[0]
             if multihost:
                 # every process iterates the identical (seeded) batch
@@ -882,7 +922,13 @@ def _training_impl(config: TrainConfig, logger: MultiLogger | None) -> dict:
         out = {k: put(v) for k, v in batch.items() if k in keys}
         idx_dev = None
         if cm is not None or (use_cache and not multihost):
-            idx_dev = jnp.asarray(np.asarray(batch["indices"]))
+            # pad rows carry a -1 sentinel; clamp for the device gathers
+            # (jnp.take's default out-of-bounds mode would FILL those rows
+            # with NaN) — whatever row they read is loss-inert via the
+            # all-zero channel_mask
+            idx_dev = jnp.maximum(
+                jnp.asarray(np.asarray(batch["indices"])), 0
+            )
         if cm is not None:
             cm_rows = jnp.take(cm, idx_dev, axis=0).astype(jnp.int32)
             out["comp_map"] = (
@@ -892,6 +938,8 @@ def _training_impl(config: TrainConfig, logger: MultiLogger | None) -> dict:
         if use_cache:
             if multihost:
                 # emb is kept host-side per process; ship only local rows
+                # (-1 pad sentinels wrap to the last row — loss-inert via
+                # the all-zero channel_mask)
                 out["embeddings"] = put(
                     np.asarray(emb)[np.asarray(batch["indices"])]
                 )
@@ -940,6 +988,7 @@ def _training_impl(config: TrainConfig, logger: MultiLogger | None) -> dict:
                 shuffle=config.shuffle, seed=config.seed, epoch=epoch,
                 buckets=config.buckets, with_images=not use_cache,
             ):
+                batch = pad_host_batch(batch)
                 if hasattr(train_step, "set_host_batch"):
                     train_step.set_host_batch(batch)  # topo GT-diagram cache
                 db = device_batch(batch, train_emb, train_cm)
@@ -974,6 +1023,7 @@ def _training_impl(config: TrainConfig, logger: MultiLogger | None) -> dict:
             valid_ds, config.batch_size, epoch=epoch, buckets=config.buckets,
             with_images=not use_cache,
         ):
+            batch = pad_host_batch(batch)
             if hasattr(eval_step, "set_host_batch"):
                 eval_step.set_host_batch(batch)  # topo GT-diagram cache
             db = device_batch(batch, valid_emb, valid_cm)

@@ -65,14 +65,20 @@ def test_python_fallback_matches_reference(monkeypatch):
 def test_native_matching_equals_python_loop(case, feat_d, monkeypatch):
     """wasserstein_match_batch (C++ JV) vs the Python scipy loop.
 
-    On continuous random data (no cost ties) the matching is unique, so
-    every output array must be equal; const_term may differ by f32
-    summation order when MANY true bars go unmatched (noise case), bounded
-    at ulp level.
+    The pairing arrays (p_birth/p_death) must be identical. The MATCHING
+    need not be: random f32 data can produce near-tied assignment costs
+    where two optimal matchings exist and JV vs scipy legitimately pick
+    different ones (observed at ~3e-2 target deltas on unlucky draws), so
+    the matcher invariant asserted here is the per-row OPTIMAL TRANSPORT
+    COST — unique even when the argmin is not, and the only thing the loss
+    value depends on. (Seed note: ``hash(str)`` is salted per process, so
+    the old hash-based seed made this test check different data every run.)
     """
     from dilabhelmholtzoct_tpu.ops import topology as T
 
-    rng = np.random.default_rng(hash((case, feat_d)) % 2**31)
+    import zlib
+
+    rng = np.random.default_rng(zlib.crc32(f"{case}-{feat_d}".encode()))
     n = 12
     pred = rng.uniform(0.1, 0.9, (n, 24, 24)).astype(np.float32)
     if case == "noise":
@@ -97,12 +103,23 @@ def test_native_matching_equals_python_loop(case, feat_d, monkeypatch):
     want = T._host_pairs_and_matching(
         pred, None, feat_d, 2.0, 128, true_diagrams=td, row_mask=row_mask)
 
-    names = ("p_birth", "p_death", "matched", "target", "const_term")
-    for name, a, b in zip(names, got, want):
-        if name == "const_term":
-            np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
-        else:
-            np.testing.assert_array_equal(a, b, err_msg=name)
+    np.testing.assert_array_equal(got[0], want[0], err_msg="p_birth")
+    np.testing.assert_array_equal(got[1], want[1], err_msg="p_death")
+
+    def row_costs(res):
+        p_birth, p_death, matched, target, const_term = res
+        flat = pred.reshape(n, -1)
+        valid = p_birth >= 0
+        b = np.take_along_axis(flat, np.clip(p_birth, 0, None), axis=1)
+        d = np.take_along_axis(flat, np.clip(p_death, 0, None), axis=1)
+        cost_m = np.maximum(np.abs(b - target[..., 0]),
+                            np.abs(d - target[..., 1])) ** 2.0
+        cost_diag = (np.abs(d - b) / 2.0) ** 2.0
+        cost = np.where(matched.astype(bool), cost_m, cost_diag)
+        return np.sum(np.where(valid, cost, 0.0), axis=1) + const_term
+
+    np.testing.assert_allclose(row_costs(got), row_costs(want),
+                               rtol=1e-5, atol=1e-7)
 
 
 @pytest.mark.parametrize("seed", range(5))

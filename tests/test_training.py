@@ -222,6 +222,33 @@ def test_training_data_parallel_8dev(tmp_path, dataset_dir):
     )
 
 
+def test_topo_data_parallel_padded(tmp_path, dataset_dir):
+    """Topological training under DP where every batch is padded to the
+    device count (bs 4 → 8 rows on the 8-device mesh). Regression: the
+    pairer captured the UNPADDED host batch while the device step consumed
+    the padded one, so the epoch-2 cache-hit gather path sized its pairing
+    arrays from the unpadded channel_mask and crashed at trace time.
+    Padding rows are loss-inert, so DP must equal single-device math."""
+    import jax
+
+    assert len(jax.devices()) == 8
+    dp = _base_config(
+        tmp_path, dataset_dir, epochs=2, batch_size=4, data_parallel=True,
+        topological=True, topo_interp=16, shuffle=False, display_name="tdp",
+    )
+    r_dp = training(dp)
+    sd = _base_config(
+        tmp_path, dataset_dir, epochs=2, batch_size=4, data_parallel=False,
+        topological=True, topo_interp=16, shuffle=False, display_name="tsd",
+    )
+    r_sd = training(sd)
+    for a, b in zip(r_dp["history"], r_sd["history"]):
+        np.testing.assert_allclose(a["train_loss"], b["train_loss"],
+                                   rtol=1e-4)
+        np.testing.assert_allclose(a["valid_loss"], b["valid_loss"],
+                                   rtol=1e-4)
+
+
 def test_training_with_augmentation(tmp_path, dataset_dir):
     cfg = _base_config(
         tmp_path, dataset_dir, epochs=1, cache_embeddings=False,
