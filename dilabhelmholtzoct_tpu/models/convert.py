@@ -22,12 +22,21 @@ from .configs import SamConfig
 
 def _to_numpy(t):
     if hasattr(t, "detach"):
-        t = t.detach().cpu().numpy()
-    # copy=True: torch's .numpy() returns a zero-copy VIEW of the live
-    # parameter storage — without the copy, converting from a live model
-    # and then stepping its torch optimizer would silently mutate the
-    # converted pytree (found via train-step parity testing).
-    return np.array(t, dtype=np.float32, copy=True)
+        # .float() first: torch refuses .numpy() on bfloat16 tensors
+        # (TypeError), which would make half-precision checkpoints
+        # unloadable; the target dtype is f32 anyway
+        t = t.detach().cpu().float().numpy()
+        # copy=True: torch's .numpy() returns a zero-copy VIEW of the live
+        # parameter storage — without the copy, converting from a live
+        # model and then stepping its torch optimizer would silently mutate
+        # the converted pytree (found via train-step parity testing).
+        # (.float() already copies for non-f32 sources, but keep it
+        # unconditional: a f32 source's .float() is a no-op view.)
+        return np.array(t, dtype=np.float32, copy=True)
+    # already numpy (safetensors / pre-converted dicts): trust the buffer,
+    # no redundant copy — load_pretrained's file path otherwise duplicated
+    # every tensor (~2.5 GB transient for ViT-H)
+    return np.asarray(t, dtype=np.float32)
 
 
 def load_state_dict(path: str, *, allow_pickled_module: bool = False) -> dict:
@@ -82,7 +91,6 @@ def _dec_attn(sd, prefix):
 
 def from_hf_state_dict(sd: dict, cfg: SamConfig) -> dict:
     """Convert a HF SamModel state_dict (tensors or numpy) to our pytree."""
-    sd = {k: v for k, v in sd.items()}
     v = cfg.vision
 
     layers = []

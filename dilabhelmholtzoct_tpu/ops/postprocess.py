@@ -20,7 +20,12 @@ resize operator (crop = keeping the first crop_h rows of step 1's output).
 The 1-D operators are built by resizing identity matrices through
 ``jax.image.resize`` itself, so their weights are exactly the ones the
 direct implementation would use; composing them is exact linear algebra
-(f32 summation order differs ~1e-6 on logit-scale values).
+(f32 summation order differs ~1e-6 on logit-scale values). The einsums pin
+``precision=HIGHEST``: TPU matmuls default to ONE bf16xbf16 pass even for
+f32 operands, which was measured at ~1.1e-2 logit error vs the direct form
+on-chip (boundary pixels flip at the 0.5 threshold); HIGHEST (6-pass f32)
+restores ~2e-7 at ~1 ms cost per step — tests/conftest.py forces the CPU
+backend, so only an on-TPU check can see this.
 
 Why: the direct form materializes (B, C, 1024, 1024) f32 intermediates
 (~268 MB at B=8, P=8) twice per step plus their backward copies — ~8 ms of
@@ -82,10 +87,12 @@ def postprocess_masks(
     x = jnp.einsum(
         "bcgw,Hg->bcHw", x, jnp.asarray(r_h),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     return jnp.einsum(
         "bcHw,Ww->bcHW", x, jnp.asarray(r_w),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
@@ -111,10 +118,12 @@ def postprocess_masks_blocked(
     x = jnp.einsum(
         "bchwdefg,Hhdf->bcwegH", x, rh_f,
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     return jnp.einsum(
         "bcwegH,Wweg->bcHW", x, rw_f,
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 

@@ -86,6 +86,9 @@ class TrainConfig:
     pretrained_checkpoint: str | None = None  # HF .pt/.safetensors on disk
     cache_embeddings: bool = True
     compute_dtype: str = "bfloat16"
+    ckpt_keep: int = 3  # newest per-epoch checkpoints retained (0 = all);
+    #   full-state ViT-L/H checkpoints are GBs each — unbounded retention
+    #   fills the volume mid-run
     buckets: tuple[int, ...] = DEFAULT_BUCKETS
     seed: int = 0
     resume: bool = False
@@ -1053,6 +1056,7 @@ def _training_impl(config: TrainConfig, logger: MultiLogger | None) -> dict:
                 run_dir, epoch,
                 {"decoder": decoder_params, "opt_state": opt_state,
                  "epoch": epoch},
+                keep=config.ckpt_keep,
             )
             run_display(epoch)
         print(f"[epoch {epoch}] ckpt+display {time.time() - t_ck:.1f}s")

@@ -22,14 +22,33 @@ def _checkpointer():
     return ocp.StandardCheckpointer()
 
 
-def save_checkpoint(directory: str, step: int, state) -> str:
-    """Save a pytree (params / train state) under ``directory/step_N``."""
+def save_checkpoint(directory: str, step: int, state, *,
+                    keep: int | None = 3) -> str:
+    """Save a pytree (params / train state) under ``directory/step_N``.
+
+    keep: retain only the newest ``keep`` step dirs (None/0 = keep all).
+    Per-epoch full-state checkpoints of a trainable='all' ViT-L/H run are
+    several GB each (params + Adam mu/nu); without retention a long run
+    fills the volume mid-training — the exact failure checkpointing exists
+    to prevent."""
     import orbax.checkpoint as ocp
 
     path = os.path.join(os.path.abspath(directory), f"step_{step}")
     ckptr = _checkpointer()
     ckptr.save(path, jax.device_get(state), force=True)
     ckptr.wait_until_finished()
+    if keep:
+        base = os.path.abspath(directory)
+        steps = sorted(
+            int(d.split("_", 1)[1])
+            for d in os.listdir(base)
+            if d.startswith("step_") and d.split("_", 1)[1].isdigit()
+        )
+        for old in steps[:-keep]:
+            import shutil
+
+            shutil.rmtree(os.path.join(base, f"step_{old}"),
+                          ignore_errors=True)
     return path
 
 

@@ -18,10 +18,17 @@ from typing import Any
 
 class StdoutLogger:
     def log(self, data: dict[str, Any], step: int | None = None):
-        scalars = {
-            k: (float(v) if isinstance(v, (int, float)) else "<obj>")
-            for k, v in data.items()
-        }
+        def scalar(v):
+            if isinstance(v, str):
+                return v
+            # try-float like JsonlLogger: numpy/JAX scalars (the natural
+            # type of a device_get result) are not isinstance(int, float)
+            try:
+                return float(v)
+            except (TypeError, ValueError):
+                return "<obj>"
+
+        scalars = {k: scalar(v) for k, v in data.items()}
         print(f"[log{'' if step is None else f' step={step}'}] "
               + json.dumps(scalars))
 
@@ -117,4 +124,8 @@ def make_logger(
             loggers.append(WandbLogger(**(wandb_kwargs or {})))
         except ImportError:
             print("[log] wandb not installed; continuing without it")
+        except Exception as e:  # init failure: no API key, no egress, ...
+            # the facade's contract is that training never dies on the
+            # logging backend — degrade exactly like the not-installed case
+            print(f"[log] wandb.init failed ({e!r}); continuing without it")
     return MultiLogger(*loggers)

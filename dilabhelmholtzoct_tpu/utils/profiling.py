@@ -49,14 +49,19 @@ class StepTimer:
     def summary(self) -> dict:
         if not self.times:
             return {}
-        t = np.asarray(self.times[1:] or self.times)  # drop compile step
-        out = {
-            f"{self.prefix}/steps": len(self.times),
+        # drop the first (compile) step from the percentiles — but if it is
+        # the ONLY step, reporting it as p50 would poison the perf record
+        # with a compile time; report just the count instead
+        steps = {f"{self.prefix}/steps": len(self.times) - 1}
+        if len(self.times) < 2:
+            return steps
+        t = np.asarray(self.times[1:])
+        return {
+            **steps,  # steps counted consistently with the percentiles
             f"{self.prefix}/step_ms_p50": float(np.percentile(t, 50) * 1e3),
             f"{self.prefix}/step_ms_p95": float(np.percentile(t, 95) * 1e3),
             f"{self.prefix}/step_ms_max": float(t.max() * 1e3),
         }
-        return out
 
     def log_summary(self):
         if self.logger is not None and self.times:

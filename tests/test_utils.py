@@ -63,5 +63,57 @@ def test_step_timer():
         with t:
             pass
     s = t.summary()
-    assert s["perf/steps"] == 5
+    # the first (compile) step is excluded from BOTH the count and the
+    # percentiles, consistently
+    assert s["perf/steps"] == 4
     assert s["perf/step_ms_p50"] >= 0
+
+
+def test_step_timer_single_step_reports_no_percentiles():
+    """A 1-step epoch must not report the compile step as p50."""
+    from dilabhelmholtzoct_tpu.utils.profiling import StepTimer
+
+    t = StepTimer()
+    with t:
+        pass
+    s = t.summary()
+    assert s == {"perf/steps": 0}
+
+
+def test_checkpoint_retention(tmp_path):
+    from dilabhelmholtzoct_tpu.utils.checkpoint import (
+        latest_step,
+        save_checkpoint,
+    )
+
+    d = str(tmp_path / "ckr")
+    for step in range(5):
+        save_checkpoint(d, step, {"w": np.full(3, float(step))}, keep=2)
+    import os
+
+    kept = sorted(x for x in os.listdir(d) if x.startswith("step_"))
+    assert kept == ["step_3", "step_4"]
+    assert latest_step(d) == 4
+
+
+def test_str2bool_strict():
+    import pytest as _pytest
+
+    from dilabhelmholtzoct_tpu.train.cli import _str2bool
+
+    assert _str2bool("True") and _str2bool("1") and _str2bool("yes")
+    for v in ("false", "f", "no", "n", "off", "0", " False "):
+        assert _str2bool(v) is False, v
+    import argparse
+
+    with _pytest.raises(argparse.ArgumentTypeError):
+        _str2bool("maybe")
+
+
+def test_stdout_logger_numpy_scalars(capsys):
+    from dilabhelmholtzoct_tpu.utils.logging import StdoutLogger
+
+    StdoutLogger().log({"loss": np.float32(0.5), "name": "run", "o": object()})
+    out = capsys.readouterr().out
+    assert '"loss": 0.5' in out and '"name": "run"' in out
+    assert '"o": "<obj>"' in out
