@@ -387,7 +387,9 @@ def encode_image(params, pixel_values, cfg: SamConfig, *, remat: bool = False):
         ps * ps * ic, -1)  # HWIO rows match the (ph, pw, c) token order
     x = jnp.dot(xp, w_flat,
                 preferred_element_type=jnp.float32).astype(xp.dtype)
-    x = x + p["patch_embed"]["b"]
+    # cast the bias like linear() does: an f32 bias on a bf16 x would
+    # silently promote the whole encoder to f32
+    x = x + p["patch_embed"]["b"].astype(x.dtype)
     if v.use_abs_pos:
         x = x + p["pos_embed"].astype(x.dtype)
     for i in range(v.num_layers):
@@ -401,7 +403,10 @@ def encode_image(params, pixel_values, cfg: SamConfig, *, remat: bool = False):
     # Neck: 1x1 conv → LN(channel) → 3x3 conv → LN(channel); both convs
     # bias-free. 1x1 conv is a channel matmul in NHWC.
     n = p["neck"]
-    x = jnp.dot(x, n["conv1_w"].astype(x.dtype), preferred_element_type=x.dtype)
+    # f32 accumulation like every other matmul (see the policy note above):
+    # bf16-accumulate dots are both less accurate and measured ~30% slower
+    x = jnp.dot(x, n["conv1_w"].astype(x.dtype),
+                preferred_element_type=jnp.float32).astype(x.dtype)
     x = layer_norm(x, n["ln1"], 1e-6)
     x = jax.lax.conv_general_dilated(
         x,
@@ -419,11 +424,12 @@ def encode_image_microbatched(params, pixel_values, cfg: SamConfig,
     """Encode in sequential chunks of ``microbatch`` inside one jitted
     program (lax.map), bounding peak memory to one chunk's activations.
 
-    The ViT's global-attention logits are (B, heads, 4096, 4096) at 1024²
-    input — batch-8 f32 logits alone exceed a v5e's HBM. Until the Pallas
-    flash-attention path lands, this keeps arbitrary batch sizes trainable
-    with ~one-image peak memory and negligible throughput cost (the MXU is
-    saturated by a single 4096-token image).
+    With the default flash-attention path the global layers stream at
+    O(N·d) memory, so microbatching is no longer REQUIRED for ViT-B bs 8
+    (it was when the XLA path materialized (B, heads, 4096, 4096) logits);
+    it remains the memory bound for the non-flash fallback, for very large
+    batches, and for larger models. Throughput cost is negligible either
+    way — the MXU is saturated by a single 4096-token image.
     """
     b = pixel_values.shape[0]
     if b <= microbatch:
@@ -515,7 +521,7 @@ def embed_mask_input(params, masks, cfg: SamConfig):
         return jax.lax.conv_general_dilated(
             x, w.astype(x.dtype), (stride, stride), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        ) + b
+        ) + b.astype(x.dtype)
 
     x = conv(masks, p["conv1"]["w"], p["conv1"]["b"], 2)
     x = gelu(layer_norm(x, p["ln1"], eps))
@@ -758,7 +764,7 @@ def _upscale2x(x, w, b):
     co = w.shape[-1]
     y = jnp.einsum("bhwc,cdeo->bhdweo", x, w.astype(x.dtype))
     y = y.reshape(bsz, h, 2, ww, 2, co).reshape(bsz, 2 * h, 2 * ww, co)
-    return y + b
+    return y + b.astype(y.dtype)
 
 
 def decode_masks(
@@ -855,11 +861,12 @@ def decode_masks(
         # materializes the flattening reshape (3.5 ms) plus extra copies.
         # The einsum/conv form cooperates with those layouts; keep it.
         w1 = p["upscale"]["ct1_w"].astype(up.dtype)
-        u1 = jnp.einsum("bhwc,cdeo->bhwdeo", up, w1) + p["upscale"]["ct1_b"]
+        u1 = (jnp.einsum("bhwc,cdeo->bhwdeo", up, w1)
+              + p["upscale"]["ct1_b"].astype(up.dtype))
         u1 = gelu(layer_norm(u1, p["upscale"]["ln"], 1e-6))
         w2 = p["upscale"]["ct2_w"].astype(up.dtype)
         u2 = jnp.einsum("bhwdec,cfgo->bhwdefgo", u1, w2)
-        u2 = gelu(u2 + p["upscale"]["ct2_b"])
+        u2 = gelu(u2 + p["upscale"]["ct2_b"].astype(u2.dtype))
         masks = jnp.einsum(
             "btc,bhwdefgc->bthwdefg", hyper_sl, u2,
             preferred_element_type=jnp.float32,
@@ -878,8 +885,11 @@ def decode_masks(
         masks = masks.reshape(b, pb, n_out, g4, g4)
 
     ih = p["iou_head"]
-    y = jax.nn.relu(linear(iou_token_out, ih["l0"]))
-    for i in range(1, d.iou_head_depth - 1):
+    # all-but-last layers with relu, then the output layer — written so a
+    # depth-1 head applies l0 exactly once (the previous hardcoded
+    # relu(l0) prologue applied it twice for depth 1)
+    y = iou_token_out
+    for i in range(d.iou_head_depth - 1):
         y = jax.nn.relu(linear(y, ih[f"l{i}"]))
     iou_pred = linear(y, ih[f"l{d.iou_head_depth - 1}"])
     iou_pred = iou_pred.reshape(b, pb, d.num_mask_tokens)

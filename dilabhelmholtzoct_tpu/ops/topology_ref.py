@@ -165,8 +165,6 @@ def _wasserstein_match_dense(d1: np.ndarray, d2: np.ndarray, q: float = 2.0):
 
     O((n1+n2)³) — kept as the validation oracle for the reduced solver
     below (tests cross-check them on random diagrams)."""
-    from scipy.optimize import linear_sum_assignment
-
     n1, n2 = len(d1), len(d2)
     if n1 == 0 and n2 == 0:
         return (np.zeros((0, 2), np.int64), np.zeros(0, np.int64),

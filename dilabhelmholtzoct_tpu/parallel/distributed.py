@@ -49,7 +49,26 @@ def initialize(
         num_processes = int(os.environ["JAX_NUM_PROCESSES"])
     if process_id is None and "JAX_PROCESS_ID" in os.environ:
         process_id = int(os.environ["JAX_PROCESS_ID"])
-    if coordinator_address is None and num_processes is None:
+    have_all = (coordinator_address is not None
+                and num_processes is not None and process_id is not None)
+    if not have_all:
+        # PARTIAL info (e.g. a leftover JAX_NUM_PROCESSES without a
+        # coordinator) must not reach the explicit initialize() below —
+        # jax would raise a raw RuntimeError on a non-cluster host instead
+        # of the documented warn-and-continue
+        if any(v is not None
+               for v in (coordinator_address, num_processes, process_id)):
+            import warnings
+
+            warnings.warn(
+                "partial multihost coordinator info found (need ALL of "
+                "JAX_COORDINATOR_ADDRESS, JAX_NUM_PROCESSES, "
+                "JAX_PROCESS_ID); ignoring it and "
+                + ("trying cluster auto-detect" if explicit
+                   else "running single-process"),
+                RuntimeWarning,
+                stacklevel=2,
+            )
         if not explicit:
             # plain single-process run; nothing requested
             return False

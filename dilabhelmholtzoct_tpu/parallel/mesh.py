@@ -114,7 +114,7 @@ def shard_map_kernel(f, mesh: Mesh, in_specs, out_specs):
                      check_rep=False)  # pragma: no cover
 
 
-def pad_to_multiple(batch: dict, multiple: int, *, count_key="n_components"):
+def pad_to_multiple(batch: dict, multiple: int):
     """Pad the leading (batch) axis up to a multiple of the mesh size so the
     per-device shard is even; padded rows get zero channel_mask so they do
     not contribute to the loss."""
