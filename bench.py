@@ -236,10 +236,8 @@ def main():
         opt_s = optf.init(dec)
         small = {k: (v[:bs] if hasattr(v, "shape") else v)
                  for k, v in batch.items()}
-        stepf = make_train_step(cfg, ft_cfg, optf, orig_hw,
-                                from_embeddings=False) \
-            if model_cfg is cfg else make_train_step(
-                model_cfg, ft_cfg, optf, orig_hw, from_embeddings=False)
+        stepf = make_train_step(model_cfg, ft_cfg, optf, orig_hw,
+                                from_embeddings=False)
         t0 = time.time()
         dec, opt_s, loss = stepf(dec, opt_s, froz, small)
         jax.block_until_ready((dec, opt_s, loss))

@@ -63,6 +63,27 @@ def preprocess_dme(raw_data_path: str, config: dict):
         subject = loadmat(os.path.join(raw_data_path, f"Subject_{number}.mat"))
         s_images = subject["images"]
         s_masks = np.nan_to_num(np.asarray(subject[use_masks], np.float32))
+        # The loader's semantics (slice axis 2, use as an (H, W) per-pixel
+        # class map) only fit PER-PIXEL mask arrays like manualFluid1
+        # ((H, W, 61) in Chiu-2015). The reference's default
+        # --dme_masks=manualLayers1 is (8, W, 61) layer-boundary ROW
+        # INDICES up to H-1 — not a mask; slicing it would produce
+        # shape-mismatched labels whose values silently wrap in uint8.
+        # (The reference's own dme loader never ran — missing loadmat
+        # import / undefined `img`, preprocessing_utils.py:45,57 — so
+        # there is no working behavior to replicate; fail loudly.)
+        if s_masks.shape[:2] != s_images.shape[:2]:
+            raise ValueError(
+                f"--dme_masks={use_masks!r} has shape {s_masks.shape}, "
+                f"which is not a per-pixel mask for images of shape "
+                f"{s_images.shape}; use a per-pixel key such as "
+                f"'manualFluid1'"
+            )
+        if s_masks.max() > 255:
+            raise ValueError(
+                f"--dme_masks={use_masks!r} holds values up to "
+                f"{s_masks.max():.0f}, which do not fit uint8 class labels"
+            )
         for j in range(s_masks.shape[2]):
             mask = s_masks[:, :, j]
             if np.sum(mask) == 0:
@@ -107,10 +128,7 @@ def preprocess(dataset, raw_data_path, processed_data_path, config):
     return name, save_dir
 
 
-def _str2bool(v: str) -> bool:
-    """Proper boolean flag parsing (the reference's ``type=bool`` treats any
-    non-empty string as True — documented bug, not replicated)."""
-    return str(v).lower() not in ("false", "0", "no", "")
+from ..utils.flags import str2bool as _str2bool  # shared strict parser
 
 
 def main(argv=None):

@@ -62,10 +62,14 @@ def main(argv=None):
         pseudocolor=config.pseudocolor,
         seed=args.seed,
     )
-    image, _ = ds[0]
-    report = evaluate_metrics(
-        params, cfg, config, ds, orig_hw=image.shape[:2]
-    )
+    if len(ds) == 0:
+        raise SystemExit(
+            f"[eval] split {args.split!r} of {data_path} is empty — "
+            "nothing to evaluate (check --dataset_name/--split)"
+        )
+    # shape only — skips the full prompt-sampling pass ds[0] would run
+    orig_hw = ds.image(0).shape[:2]
+    report = evaluate_metrics(params, cfg, config, ds, orig_hw=orig_hw)
     if args.report_json:
         with open(args.report_json, "w") as f:
             json.dump(report, f, indent=1, default=float)

@@ -47,11 +47,19 @@ def _bucket(n):
     return bucket_for(n, buckets=(4,) + DEFAULT_BUCKETS)
 
 
-def make_batch_infer_fns(cfg, config, orig_hw):
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def make_batch_infer_fns(cfg, orig_hw):
     """Jitted batched decode: (B-row embeddings, prompts) → (B, C, H, W)
     sigmoid probabilities. The ONE implementation of the eval inference
     math — the per-sample path wraps these on a size-1 batch, so the two
     paths cannot drift apart.
+
+    lru_cache: callers rebuild their wrappers per epoch (display) or per
+    report (eval); returning the SAME jitted closures keeps jax's trace
+    cache warm instead of recompiling the decoder every call.
 
     NB: params must be an explicit jit argument — closing over them bakes
     ~90M weights into the graph as constants and compile time explodes."""
@@ -82,6 +90,18 @@ def make_batch_infer_fns(cfg, config, orig_hw):
     return batch_boxes, batch_points
 
 
+@functools.lru_cache(maxsize=8)
+def _embed_fn(cfg):
+    size = cfg.vision.image_size
+
+    @jax.jit
+    def _embed(p, image):
+        pix, _ = preprocess_image(image[None], target_size=size)
+        return encode_image(p, pix, cfg)[0]
+
+    return _embed
+
+
 def make_infer_fn(params, cfg, config, orig_hw):
     """Jitted per-sample inference: image + prompts → (C, H, W) sigmoid
     probabilities (compiled once per prompt-bucket size).
@@ -91,12 +111,8 @@ def make_infer_fn(params, cfg, config, orig_hw):
     size = cfg.vision.image_size
     g = cfg.prompt.image_embedding_size
 
-    @jax.jit
-    def _embed(p, image):
-        pix, _ = preprocess_image(image[None], target_size=size)
-        return encode_image(p, pix, cfg)[0]
-
-    batch_boxes, batch_points = make_batch_infer_fns(cfg, config, orig_hw)
+    _embed = _embed_fn(cfg)
+    batch_boxes, batch_points = make_batch_infer_fns(cfg, tuple(orig_hw))
 
     def _run_boxes(p, emb, boxes):
         return batch_boxes(p, emb[None], boxes[None])[0]
@@ -189,7 +205,7 @@ def evaluate_metrics(params, cfg, config, dataset, *, orig_hw, num_classes=14,
 
     import time as _time
 
-    _batch_boxes, _batch_points = make_batch_infer_fns(cfg, config, orig_hw)
+    _batch_boxes, _batch_points = make_batch_infer_fns(cfg, tuple(orig_hw))
 
     def _batched_probs():
         """Batched inference over the whole split: one dispatch and ONE

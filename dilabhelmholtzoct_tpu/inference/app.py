@@ -27,9 +27,15 @@ def segment_event(engine: SegmentationEngine, inputs: dict):
     """Handle one ImagePrompter event dict {'image', 'points'} →
     (image, [(mask_or_region, label), ...]) in the reference's
     AnnotatedImage format (app.py:33-52)."""
+    if not inputs or inputs.get("image") is None:
+        # Submit before an image is uploaded: ImagePrompter's empty value
+        # is None — return an empty annotation instead of a raw TypeError
+        # banner in the UI
+        return None, []
     img = inputs["image"]
     masks = []
-    for prompt_type, prompt in parse_image_prompter_points(inputs["points"]):
+    for prompt_type, prompt in parse_image_prompter_points(
+            inputs.get("points") or []):
         binary, _ = engine.segment(img, prompt, prompt_type,
                                    with_probs=False)
         if prompt_type == "points":

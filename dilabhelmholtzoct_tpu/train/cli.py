@@ -43,18 +43,7 @@ CUSTOM_MASK_DICT = {
 MODES = ("single_mask", "all_masks_one_model", "all_masks_seperate_models")
 
 
-def _str2bool(v) -> bool:
-    """Strict boolean flag parsing — the reference's ``type=bool`` treats
-    any non-empty string (including "False") as True (training.py:42,87, a
-    documented bug we do not replicate). Unknown tokens ERROR instead of
-    silently enabling: '--resume f' must not resume from a stale
-    checkpoint."""
-    s = str(v).strip().lower()
-    if s in ("true", "t", "yes", "y", "on", "1"):
-        return True
-    if s in ("false", "f", "no", "n", "off", "0", ""):
-        return False
-    raise argparse.ArgumentTypeError(f"expected a boolean, got {v!r}")
+from ..utils.flags import str2bool as _str2bool  # shared strict parser
 
 
 def build_parser() -> argparse.ArgumentParser:

@@ -32,14 +32,22 @@ _PALETTE = np.array([
 
 def _select_indices(config, split, n):
     mode = config.display_mode
+    if mode == "none":
+        return []
     if mode == "predefined":
         return [i for i in config.display_idx if i < n]
+    # unknown modes must fail loudly, not silently act as unseeded random
     if mode == "random_equal":
-        random.seed(17)
+        rng = random.Random(17)  # reference seed (training_utils.py:307)
     elif mode == "random_changing":
-        random.seed(time.time())
+        rng = random.Random(time.time())
+    else:
+        raise ValueError(
+            f"unknown display_mode {mode!r}; expected one of "
+            "predefined/random_equal/random_changing/none"
+        )
     count = config.display_train_nr if split == "train" else config.display_val_nr
-    return [random.randint(0, n - 1) for _ in range(count)]
+    return [rng.randint(0, n - 1) for _ in range(count)]
 
 
 def _class_map(masks_logits, mask_values):

@@ -81,6 +81,33 @@ def test_segment_event_mixed(engine, rng):
     assert labels == ["point", "mask", "box", "mask"]
 
 
+def test_segment_event_empty_inputs(engine):
+    """Submit with no image uploaded (ImagePrompter gives None) must be a
+    no-op, not a TypeError banner in the UI."""
+    from dilabhelmholtzoct_tpu.inference.app import segment_event
+
+    assert segment_event(engine, None) == (None, [])
+    assert segment_event(engine, {"image": None, "points": None}) == (None, [])
+    img = np.zeros((32, 32, 3), np.uint8)
+    out_img, masks = segment_event(engine, {"image": img, "points": None})
+    assert masks == [] and out_img is img
+
+
+def test_display_mode_selection():
+    from dilabhelmholtzoct_tpu.train.display import _select_indices
+    from dilabhelmholtzoct_tpu.train.trainer import TrainConfig
+
+    cfg = TrainConfig(display_mode="none")
+    assert _select_indices(cfg, "train", 10) == []
+    cfg2 = TrainConfig(display_mode="random_equal")
+    a = _select_indices(cfg2, "train", 10)
+    assert a == _select_indices(cfg2, "train", 10)  # seeded: reproducible
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _select_indices(TrainConfig(display_mode="random-equal"), "train", 10)
+
+
 def test_eval_harness_smoke(engine, rng):
     """evaluate_metrics runs over a tiny prompted dataset and reports."""
     from dilabhelmholtzoct_tpu.eval.harness import evaluate_metrics
