@@ -37,6 +37,11 @@ def main(argv=None):
     p.add_argument("--prompt", type=str, default="bboxes",
                    choices=["bboxes", "points"])
     p.add_argument("--pseudocolor", type=str, default="grayscale")
+    p.add_argument("--eval_device", type=str, default="default",
+                   choices=["default", "cpu"],
+                   help="'cpu' replicates the reference's eval-on-CPU "
+                        "placement (training_utils.py:83-85: the eval "
+                        "model never moves to the accelerator)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--report_json", type=str, default=None,
                    help="also write the metric report as JSON")
@@ -54,6 +59,7 @@ def main(argv=None):
                      else args.pseudocolor),
         mask_dict=dict(CUSTOM_MASK_DICT) if args.dataset == "custom" else {},
         seed=args.seed,
+        eval_device=args.eval_device,
     )
     cfg, params = prepare_model(config)
     ds = PromptedDataset(

@@ -172,8 +172,35 @@ def _metric_block(name, global_val, sample_vals, idx, out):
 
 
 def evaluate_metrics(params, cfg, config, dataset, *, orig_hw, num_classes=14,
-                     batch_encode: int = 8):
+                     batch_encode: int = 8, eval_device: str | None = None):
     """Full per-class report; returns nested dict of all metrics.
+
+    eval_device: None → ``config.eval_device`` ("default" keeps the default
+    backend). "cpu" runs the whole evaluation — jit compilation and array
+    placement — on the host CPU backend, replicating the reference's
+    eval-on-CPU semantics (its evaluate_metrics re-instantiates the model
+    and never calls ``.to(device)``, training_utils.py:83-85).
+    """
+    dev = eval_device if eval_device is not None else getattr(
+        config, "eval_device", "default")
+    if dev == "cpu" and jax.devices()[0].platform != "cpu":
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            # params must be committed to the CPU backend so every jit
+            # below compiles for (and runs on) host
+            params = jax.tree_util.tree_map(
+                lambda x: jax.device_put(np.asarray(x), cpu), params)
+            return _evaluate_metrics_impl(
+                params, cfg, config, dataset, orig_hw=orig_hw,
+                num_classes=num_classes, batch_encode=batch_encode)
+    return _evaluate_metrics_impl(
+        params, cfg, config, dataset, orig_hw=orig_hw,
+        num_classes=num_classes, batch_encode=batch_encode)
+
+
+def _evaluate_metrics_impl(params, cfg, config, dataset, *, orig_hw,
+                           num_classes=14, batch_encode: int = 8):
+    """Body of :func:`evaluate_metrics` (device placement handled there).
 
     Unlike the reference's per-sample CPU loop (training_utils.py:113-134),
     images are batch-encoded once up front; the per-sample pass then runs

@@ -85,6 +85,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=list(COLORMAP_NAMES))
     p.add_argument("--display_name", type=str, default="")
     p.add_argument("--evaluate", type=_str2bool, default=True)
+    p.add_argument("--eval_device", type=str, default="default",
+                   choices=["default", "cpu"],
+                   help="'cpu' replicates the reference's eval-on-CPU "
+                        "placement (training_utils.py:83-85)")
     p.add_argument("--prompt", type=str, default="bboxes",
                    choices=["bboxes", "points"])
     p.add_argument("--top", action="store_true")
@@ -145,6 +149,7 @@ def config_from_args(args) -> TrainConfig:
         topological=args.top,
         topo_pipeline=args.topo_pipeline,
         evaluate=args.evaluate,
+        eval_device=args.eval_device,
         display_name=display_name,
         time=t,
         display_mode=args.display_mode,

@@ -75,6 +75,11 @@ class TrainConfig:
     pseudocolor: str | None = None  # colormap name or None/grayscale
     topological: bool = False
     evaluate: bool = True
+    eval_device: str = "default"  # "default" | "cpu" — SURVEY parity
+    #   decision: the reference's evaluate_metrics never moves the model to
+    #   the GPU (training_utils.py:83-85), so its eval always runs on CPU.
+    #   "cpu" replicates that placement as an option; "default" keeps eval
+    #   on the accelerator (the TPU-native default).
     display_name: str = "run"
     time: str = ""
     display_mode: str = "none"

@@ -134,6 +134,42 @@ def test_eval_harness_smoke(engine, rng):
     assert "a" in report and "iou" in report["a"]
 
 
+def test_eval_harness_eval_device_cpu(engine, rng):
+    """--eval_device cpu (SURVEY parity: the reference's evaluate_metrics
+    never moves the model to the accelerator, training_utils.py:83-85) runs
+    the whole harness on the host backend and reports identical metrics.
+
+    Tests already run on the CPU backend, so this exercises the explicit
+    placement path (device_put to jax.devices('cpu')[0] + default_device)
+    rather than a cross-backend move — the placement logic is the same."""
+    from dilabhelmholtzoct_tpu.eval.harness import evaluate_metrics
+    from dilabhelmholtzoct_tpu.data.pipeline import PromptedDataset
+    from dilabhelmholtzoct_tpu.train.trainer import TrainConfig
+
+    items = []
+    for i in range(2):
+        lbl = np.zeros((64, 96), np.uint8)
+        lbl[10:30, 10:40] = 1
+        items.append({
+            "image": rng.integers(0, 255, (64, 96, 3), dtype=np.uint8),
+            "label": lbl,
+        })
+    config = TrainConfig(mask_dict={0: "bg", 1: "a"}, eval_device="cpu")
+    r_cpu = evaluate_metrics(
+        engine.params, engine.cfg, config,
+        PromptedDataset(items, prompt_type="bboxes", seed=0),
+        orig_hw=(64, 96), num_classes=2,
+    )
+    r_def = evaluate_metrics(
+        engine.params, engine.cfg, TrainConfig(mask_dict={0: "bg", 1: "a"}),
+        PromptedDataset(items, prompt_type="bboxes", seed=0),
+        orig_hw=(64, 96), num_classes=2,
+    )
+    assert np.isfinite(r_cpu["_means"]["dice"])
+    assert np.allclose(r_cpu["_means"]["dice"], r_def["_means"]["dice"],
+                       atol=1e-6)
+
+
 def test_eval_cli(tmp_path, rng):
     """Standalone eval CLI over a tiny stored dataset."""
     from dilabhelmholtzoct_tpu.data.store import split_and_save
