@@ -199,6 +199,39 @@ def main():
         file=sys.stderr,
     )
 
+    # ON-DEVICE topological mode (topo_device=True): persistence pairing +
+    # Wasserstein matching as XLA while_loops inside the jitted step
+    # (ops/topology_device.py) — no host pairing, no grid fetch over the
+    # tunnel, no pipelining staleness, multihost-compatible.
+    topo_d_cfg = TrainConfig(
+        compute_dtype="bfloat16", cache_embeddings=True, batch_size=BATCH,
+        topological=True, topo_interp=50, topo_device=True,
+    )
+    topo_d = make_train_step(
+        cfg, topo_d_cfg, make_optimizer(topo_d_cfg), orig_hw,
+        from_embeddings=True,
+    )
+    dec_d = jax.tree_util.tree_map(jnp.copy, decoder_params)
+    opt_d = make_optimizer(topo_d_cfg).init(dec_d)
+    t0 = time.time()
+    dec_d, opt_d, loss = topo_d(dec_d, opt_d, frozen_params, cached_batch)
+    jax.block_until_ready((dec_d, opt_d, loss))
+    topo_d_compile = time.time() - t0
+    for _ in range(3):
+        dec_d, opt_d, loss = topo_d(dec_d, opt_d, frozen_params, cached_batch)
+    jax.block_until_ready((dec_d, opt_d, loss))
+    t0 = time.time()
+    for _ in range(10):
+        dec_d, opt_d, loss = topo_d(dec_d, opt_d, frozen_params, cached_batch)
+    jax.block_until_ready((dec_d, opt_d, loss))
+    topo_d_ms = (time.time() - t0) / 10 * 1e3
+    print(
+        f"[bench] topo ON-DEVICE cached step: {topo_d_ms:.1f} ms "
+        f"({BATCH / (topo_d_ms / 1e3):.1f} img/s, compile "
+        f"{topo_d_compile:.1f}s) — pairing+matching inside the jitted step",
+        file=sys.stderr,
+    )
+
     # point-prompt + Bone pseudocolor step (BASELINE.md config 3): LUT on
     # host (the pipeline applies it in __getitem__, data/pipeline.py:63),
     # point prompts at component centers

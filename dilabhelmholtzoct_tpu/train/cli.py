@@ -109,6 +109,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "equivalent per BASELINE.md 'topo_pipeline "
                         "study'). false = synchronous two-phase, exact "
                         "reference step ordering")
+    p.add_argument("--topo_device", type=_str2bool, default=False,
+                   help="compute the topological pairing+matching ON "
+                        "DEVICE inside the jitted step (no host pairing, "
+                        "no pipelining staleness, multihost-compatible)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--resume", type=_str2bool, default=False)
     p.add_argument("--multihost", type=_str2bool, default=False,
@@ -148,6 +152,7 @@ def config_from_args(args) -> TrainConfig:
                      else args.pseudocolor),
         topological=args.top,
         topo_pipeline=args.topo_pipeline,
+        topo_device=args.topo_device,
         evaluate=args.evaluate,
         eval_device=args.eval_device,
         display_name=display_name,

@@ -120,6 +120,15 @@ class TrainConfig:
     #   stabilize the two modes are bit-identical) while pipelined is
     #   ~1.17x faster per step (153.0 vs 179.1 ms, BASELINE.md round-3
     #   config-4 row).
+    topo_device: bool = False  # compute the topological pairing + matching
+    #   ON DEVICE inside the jitted step (ops/topology_device.py: batched
+    #   union-find persistence + lane-lockstep Jonker-Volgenant matching as
+    #   XLA while_loops) instead of the two-phase host protocol. Removes
+    #   the per-step device->host grid fetch, the pipelining staleness, and
+    #   the host union-find bound — and is multihost-compatible (the host
+    #   pairing is not). Loss/grad equality vs the host path is pinned in
+    #   tests/test_topology_device.py; step-level equality in
+    #   tests/test_training.py::test_topo_device_mode_matches_host.
     topo_true_cache: bool = True  # cache GT-side persistence diagrams
     #   across epochs (exact: targets are constant; auto-disabled under
     #   augmentation). Skips the target persistence, the gt one-hot
@@ -259,7 +268,18 @@ def _loss_from_masks(masks, batch, config: TrainConfig, pairing=None):
     loss = segmentation_loss(config.loss)(
         masks, gt_masks, batch["channel_mask"]
     )
-    if config.topological and pairing is not None:
+    if config.topological and config.topo_device:
+        from ..ops.topology_device import topo_loss_device
+
+        loss = loss + topo_loss_device(
+            jax.nn.sigmoid(masks.astype(jnp.float32)),
+            gt_masks,
+            config.topo_lamda,
+            interp=config.topo_interp,
+            feat_d=config.topo_feat_d,
+            channel_mask=batch["channel_mask"],
+        )
+    elif config.topological and pairing is not None:
         from ..ops.topology import topo_loss_from_pairing
 
         loss = loss + topo_loss_from_pairing(
@@ -481,7 +501,9 @@ def make_train_step(
         decoder_params = optax.apply_updates(decoder_params, updates)
         return decoder_params, opt_state, loss
 
-    if not config.topological:
+    if not config.topological or config.topo_device:
+        # topo_device: the topological term runs inside `step` itself
+        # (_loss_from_masks), so no two-phase machinery is needed
         return step
 
     # Two-phase topological mode: phase A produces the downsampled grids for
@@ -623,7 +645,9 @@ def make_eval_step(cfg, config: TrainConfig, orig_hw, from_embeddings: bool):
     def loss_plain(masks, batch):
         return _loss_from_masks(masks, batch, config, None)
 
-    if not config.topological:
+    if not config.topological or config.topo_device:
+        # topo_device: loss_plain's _loss_from_masks computes the
+        # topological term on device — no host pairer needed
         def step(decoder_params, frozen_params, batch):
             masks = masks_fn(decoder_params, frozen_params, batch)
             return loss_plain(masks, batch)
@@ -745,15 +769,17 @@ def _training_impl(config: TrainConfig, logger: MultiLogger | None) -> dict:
     # JAX_NUM_PROCESSES are set or config.multihost requests it). Every
     # process runs the same deterministic loop and owns a contiguous row
     # slice of each global batch; process 0 owns logging/checkpoints.
-    if config.topological and config.multihost:
+    if config.topological and config.multihost and not config.topo_device:
         # _pair() calls jax.device_get on fwd_grids outputs; under
         # multi-process DP those are globally-sharded arrays that are not
         # fully addressable from one process, so the first topo step would
-        # raise deep inside the loop. Fail fast instead.
+        # raise deep inside the loop. Fail fast instead. topo_device=True
+        # has no host pairing and composes with multihost.
         raise ValueError(
-            "topological=True is incompatible with multihost=True (host "
-            "pairing needs fully-addressable grids); run topo training "
-            "single-host (single-host multi-chip DP is fine)"
+            "topological=True with the host pairing protocol is "
+            "incompatible with multihost=True (the pairing needs fully-"
+            "addressable grids); use topo_device=True (on-device "
+            "persistence) or run topo training single-host"
         )
     multihost = dist.initialize(explicit=True) if config.multihost else False
     primary = jax.process_index() == 0

@@ -393,3 +393,120 @@ def test_finetune_dice_parity():
     assert total > 1000, f"too few moved params ({total}) — check wiring"
     frac = agree / total
     assert frac > 0.995, f"update sign agreement only {frac:.4f}"
+
+
+@pytest.mark.slow
+def test_train_loss_curve_parity_vitb_geometry():
+    """Loss-curve lock at REAL ViT-B geometry (round-3 VERDICT #4): the
+    22-step and convergence locks above run at tiny scale; this pins the
+    training math at the shapes production training actually uses — cached
+    embeddings (G=64, C=256), bucket-64 box prompts, (496, 512) originals
+    with the 3-step postprocess through 1024-space (training_utils.py:57-59),
+    decoder-only Adam (training_utils.py:31). Both stacks consume identical
+    random embeddings, so the whole decoder/prompt-encoder/postprocess/
+    DiceCE/Adam chain must reproduce torch's curve for several steps.
+
+    Horizon is 4 steps: at this geometry the DiceCE reductions span ~32M
+    elements, so torch-vs-XLA f32 summation-order differences put ~1e-4 on
+    each loss/grad; through Adam's sign-like normalized updates that seeds
+    a bifurcation observed at step 5 (|Δloss| jumped 1e-4 -> 3.5e-2 while
+    steps 0-4 matched — recorded 2026-08-20). Longer-horizon locks (22
+    steps + convergence) live in the tiny-scale tests above where the
+    reduction chaos is orders of magnitude smaller."""
+    import torch.nn.functional as F
+    import transformers
+
+    from dilabhelmholtzoct_tpu.models.configs import sam_vit_base
+    from dilabhelmholtzoct_tpu.train.trainer import (
+        TrainConfig,
+        _split_params,
+        make_optimizer,
+        make_train_step,
+    )
+
+    cfg = sam_vit_base()
+    orig_hw = (496, 512)  # the OCT dataset's native geometry
+    b, n_comp, g, ch = 2, 64, 64, 256
+
+    torch.manual_seed(5)
+    model = transformers.SamModel(transformers.SamConfig())
+    model.train()
+    with torch.no_grad():
+        for p in model.parameters():
+            p.copy_(torch.randn_like(p) * 0.05)
+        for emb_mod in (model.shared_image_embedding,
+                        model.prompt_encoder.shared_embedding):
+            emb_mod.positional_embedding.copy_(
+                torch.randn_like(emb_mod.positional_embedding) * 0.7
+            )
+    for name, p in model.named_parameters():
+        if name.startswith(("vision_encoder", "prompt_encoder")):
+            p.requires_grad_(False)
+    params = from_hf_model(model, cfg)
+
+    rng = np.random.default_rng(31)
+    emb = (rng.standard_normal((b, g, g, ch)) * 0.1).astype(np.float32)
+    comp_map = np.zeros((b, *orig_hw), np.int32)
+    boxes = np.zeros((b, n_comp, 4), np.float32)
+    for i in range(b):
+        for c in range(n_comp):
+            y = int(rng.integers(5, orig_hw[0] - 40))
+            x = int(rng.integers(5, orig_hw[1] - 40))
+            h_, w_ = int(rng.integers(12, 36)), int(rng.integers(12, 36))
+            comp_map[i, y:y + h_, x:x + w_] = c + 1
+            boxes[i, c] = (x, y, x + w_, y + h_)
+    gt = np.stack([(comp_map == c + 1) for c in range(n_comp)],
+                  axis=1).astype(np.float32)
+
+    # ---- torch curve (reference step semantics, decoder-only Adam) -----
+    lr = 1e-2
+    opt_t = torch.optim.Adam(model.mask_decoder.parameters(), lr=lr)
+    emb_t = torch.tensor(emb.transpose(0, 3, 1, 2))
+    boxes_t = torch.tensor(boxes * 2.0)  # (496,512) -> (992,1024) space
+    gt_t = torch.tensor(gt)
+    n_steps = 4
+    t_curve = []
+    for _ in range(n_steps):
+        out = model(image_embeddings=emb_t, input_boxes=boxes_t,
+                    multimask_output=False)
+        masks = out.pred_masks.squeeze(2)  # (B, 64, 256, 256)
+        m = F.interpolate(masks, (1024, 1024), mode="bilinear",
+                          align_corners=False)
+        m = m[..., :992, :1024]
+        m = F.interpolate(m, orig_hw, mode="bilinear", align_corners=False)
+        loss = _torch_dice_ce(m, gt_t)
+        opt_t.zero_grad()
+        loss.backward()
+        opt_t.step()
+        t_curve.append(float(loss.detach()))
+
+    # ---- our jitted cached-embedding step ------------------------------
+    config = TrainConfig(
+        compute_dtype="float32", cache_embeddings=True,
+        batch_size=b, learning_rate=lr, buckets=(n_comp,),
+    )
+    decoder_params, frozen_params = _split_params(params)
+    optimizer = make_optimizer(config)
+    opt_state = optimizer.init(decoder_params)
+    step = make_train_step(cfg, config, optimizer, orig_hw,
+                           from_embeddings=True)
+    batch = {
+        "embeddings": jnp.asarray(emb),
+        "prompts": jnp.asarray(boxes),
+        "comp_map": jnp.asarray(comp_map),
+        "channel_mask": jnp.ones((b, n_comp), jnp.float32),
+    }
+    our_curve = []
+    for _ in range(n_steps):
+        decoder_params, opt_state, loss = step(
+            decoder_params, opt_state, frozen_params, batch
+        )
+        our_curve.append(float(loss))
+
+    for i, (a, t) in enumerate(zip(our_curve, t_curve)):
+        tol = 5e-4 * (1 + i)  # f32 drift compounds through Adam moments
+        np.testing.assert_allclose(
+            a, t, rtol=tol, atol=tol,
+            err_msg=f"step {i}: ours={our_curve} torch={t_curve}",
+        )
+    assert all(np.isfinite(our_curve))

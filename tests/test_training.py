@@ -249,6 +249,58 @@ def test_topo_data_parallel_padded(tmp_path, dataset_dir):
                                    rtol=1e-4)
 
 
+def test_topo_device_mode_matches_host(tmp_path, dataset_dir):
+    """On-device topological mode (topo_device=True: pairing + matching as
+    XLA while_loops inside the jitted step, ops/topology_device.py) trains
+    to the same losses as the synchronous two-phase host protocol — same
+    bars (bit-matched pairing, tests/test_topology_device.py), same optimal
+    matching cost, so the whole 2-epoch trajectory must agree."""
+    dev = _base_config(
+        tmp_path, dataset_dir, epochs=2, batch_size=2, shuffle=False,
+        topological=True, topo_interp=16, topo_device=True,
+        data_parallel=False, display_name="tdev",
+    )
+    r_dev = training(dev)
+    host = _base_config(
+        tmp_path, dataset_dir, epochs=2, batch_size=2, shuffle=False,
+        topological=True, topo_interp=16, topo_pipeline=False,
+        data_parallel=False, display_name="thost",
+    )
+    r_host = training(host)
+    for a, b in zip(r_dev["history"], r_host["history"]):
+        np.testing.assert_allclose(a["train_loss"], b["train_loss"],
+                                   rtol=1e-4)
+        np.testing.assert_allclose(a["valid_loss"], b["valid_loss"],
+                                   rtol=1e-4)
+
+
+def test_topo_device_data_parallel(tmp_path, dataset_dir):
+    """topo_device under DP: the pairing/matching while_loops must
+    partition over the 8-device mesh (their only cross-row ops are the
+    early-exit any() reductions) and reproduce single-device math with
+    padded batches (bs 4 -> 8 rows)."""
+    import jax
+
+    assert len(jax.devices()) == 8
+    dp = _base_config(
+        tmp_path, dataset_dir, epochs=1, batch_size=4, data_parallel=True,
+        topological=True, topo_interp=16, topo_device=True, shuffle=False,
+        display_name="tdevdp",
+    )
+    r_dp = training(dp)
+    sd = _base_config(
+        tmp_path, dataset_dir, epochs=1, batch_size=4, data_parallel=False,
+        topological=True, topo_interp=16, topo_device=True, shuffle=False,
+        display_name="tdevsd",
+    )
+    r_sd = training(sd)
+    for a, b in zip(r_dp["history"], r_sd["history"]):
+        np.testing.assert_allclose(a["train_loss"], b["train_loss"],
+                                   rtol=1e-4)
+        np.testing.assert_allclose(a["valid_loss"], b["valid_loss"],
+                                   rtol=1e-4)
+
+
 def test_training_with_augmentation(tmp_path, dataset_dir):
     cfg = _base_config(
         tmp_path, dataset_dir, epochs=1, cache_embeddings=False,
