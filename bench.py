@@ -148,9 +148,10 @@ def main():
     # persistence Wasserstein via the two-phase host-pairing protocol
     topo_cfg = TrainConfig(
         compute_dtype="bfloat16", cache_embeddings=True, batch_size=BATCH,
-        topological=True, topo_interp=50,
-        topo_pipeline=False,  # sync two-phase diagnostic; the pipelined
-        #   default (measured next) is the config-4 headline
+        topological=True, topo_interp=50, topo_device=False,
+        topo_pipeline=False,  # sync two-phase diagnostic of the HOST
+        #   protocol; the on-device mode (measured below) is the round-5
+        #   default and the config-4 headline
     )
     topo_step = make_train_step(
         cfg, topo_cfg, make_optimizer(topo_cfg), orig_hw, from_embeddings=True
@@ -177,6 +178,7 @@ def main():
     topo_p_cfg = TrainConfig(
         compute_dtype="bfloat16", cache_embeddings=True, batch_size=BATCH,
         topological=True, topo_interp=50, topo_pipeline=True,
+        topo_device=False,
     )
     topo_p = make_train_step(
         cfg, topo_p_cfg, make_optimizer(topo_p_cfg), orig_hw,

@@ -120,7 +120,7 @@ class TrainConfig:
     #   stabilize the two modes are bit-identical) while pipelined is
     #   ~1.17x faster per step (153.0 vs 179.1 ms, BASELINE.md round-3
     #   config-4 row).
-    topo_device: bool = False  # compute the topological pairing + matching
+    topo_device: bool = True  # compute the topological pairing + matching
     #   ON DEVICE inside the jitted step (ops/topology_device.py: batched
     #   union-find persistence + lane-lockstep Jonker-Volgenant matching as
     #   XLA while_loops) instead of the two-phase host protocol. Removes
@@ -129,6 +129,14 @@ class TrainConfig:
     #   pairing is not). Loss/grad equality vs the host path is pinned in
     #   tests/test_topology_device.py; step-level equality in
     #   tests/test_training.py::test_topo_device_mode_matches_host.
+    #   DEFAULT since round 5 (was the opt-in mode in round 4): it is
+    #   simultaneously the most reference-exact (no pairing staleness — the
+    #   reference pairs inside the step, topological_loss.py:55-82 invoked
+    #   at training_utils.py:63-64), the fastest measured on TPU (37.7 ms
+    #   vs 97 ms pipelined-host in the same bench run, BENCH_r04), and the
+    #   only multihost-compatible mode. `--topo_device false` restores the
+    #   host protocol; with it, topo_pipeline picks pipelined vs sync
+    #   (sync = literal reference step ordering on the host path).
     topo_true_cache: bool = True  # cache GT-side persistence diagrams
     #   across epochs (exact: targets are constant; auto-disabled under
     #   augmentation). Skips the target persistence, the gt one-hot

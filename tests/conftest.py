@@ -15,6 +15,21 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ.setdefault("TF_ENABLE_ONEDNN_OPTS", "0")
 
+# Hermetic persistent-compile-cache handling (round-5 SIGABRT fix): loading
+# CPU AOT entries from the persistent cache aborts the process in this
+# environment — even same-session, same-machine entries (measured: the full
+# test_training module dies with SIGABRT in the first topo-device DP train
+# step when a per-session tmp cache is enabled, and is green without it;
+# tests/test_cache_hermetic.py pins the control). enable_compilation_cache()
+# is therefore a no-op on the CPU backend, and the suite NEVER sets
+# jax_compilation_cache_dir. The env pin below is defense in depth: if any
+# code force-enables the cache anyway, it lands in a fresh per-session tmp
+# dir, not the shared user-level cache.
+import tempfile  # noqa: E402
+
+_CACHE_TMP = tempfile.mkdtemp(prefix="dhoct-test-xla-cache-")
+os.environ["DHOCT_COMPILATION_CACHE"] = _CACHE_TMP
+
 # The axon sitecustomize (PYTHONPATH=/root/.axon_site) pins JAX_PLATFORMS to
 # the TPU tunnel before conftest runs; the config API still wins.
 import jax  # noqa: E402

@@ -307,6 +307,17 @@ def test_finetune_dice_parity():
             - np.mean(list(start.values())))
     assert gain > 0.03, (report, start)
     assert np.mean([v[0] for v in report.values()]) > 0.5, report
+
+
+def test_train_step_parity():
+    """One-STEP loss + update parity (the suite's fast whole-step check,
+    restored as a named test in round 5 after being absorbed into the
+    slow-marked convergence test in round 3): one full reference-equivalent
+    fine-tune step (training_utils.py:27-80) through both stacks from
+    identical converted weights — step-1 loss (forward+loss parity), step-2
+    loss (the applied parameter update matched), and per-parameter Adam
+    update signs (pins the gradient field, since first-step Adam is ~sign
+    descent)."""
     from dilabhelmholtzoct_tpu.train.trainer import (
         TrainConfig,
         _split_params,
@@ -412,7 +423,15 @@ def test_train_loss_curve_parity_vitb_geometry():
     a bifurcation observed at step 5 (|Δloss| jumped 1e-4 -> 3.5e-2 while
     steps 0-4 matched — recorded 2026-08-20). Longer-horizon locks (22
     steps + convergence) live in the tiny-scale tests above where the
-    reduction chaos is orders of magnitude smaller."""
+    reduction chaos is orders of magnitude smaller.
+
+    Round-5 extension (round-4 VERDICT #7): past the scalar-loss horizon,
+    the GRADIENT FIELD itself is compared at the bifurcation step — after
+    the 4 locked steps, per-parameter decoder gradients from both stacks
+    must agree in norm-relative error and cosine similarity. This shows
+    the step-5 divergence is f32 summation-order noise amplified by Adam,
+    not a math defect: the training math stays pinned at the exact point
+    the scalar curves separate."""
     import torch.nn.functional as F
     import transformers
 
@@ -510,3 +529,71 @@ def test_train_loss_curve_parity_vitb_geometry():
             err_msg=f"step {i}: ours={our_curve} torch={t_curve}",
         )
     assert all(np.isfinite(our_curve))
+
+    # ---- gradient-field lock AT the step-5 bifurcation point -----------
+    # Both stacks' grads computed at torch's step-4 params (identical via
+    # from_hf_model), so this isolates pure gradient-math parity from the
+    # ~1e-4 param drift the 4 Adam steps accumulated.
+    from dilabhelmholtzoct_tpu.train.trainer import (
+        _forward_from_embeddings,
+        _loss_from_masks,
+    )
+    from dilabhelmholtzoct_tpu.models.convert import to_hf_state_dict
+
+    out = model(image_embeddings=emb_t, input_boxes=boxes_t,
+                multimask_output=False)
+    m = F.interpolate(out.pred_masks.squeeze(2), (1024, 1024),
+                      mode="bilinear", align_corners=False)
+    m = m[..., :992, :1024]
+    m = F.interpolate(m, orig_hw, mode="bilinear", align_corners=False)
+    loss_t5 = _torch_dice_ce(m, gt_t)
+    opt_t.zero_grad()
+    loss_t5.backward()
+    t_grads = {k: p.grad.detach().numpy().copy()
+               for k, p in model.mask_decoder.named_parameters()
+               if p.grad is not None}
+
+    params5 = from_hf_model(model, cfg)  # torch's step-4 params, converted
+    dec5, frozen5 = _split_params(params5)
+
+    def loss_ours(dec):
+        masks = _forward_from_embeddings(
+            dec, frozen5, cfg, batch["embeddings"], batch, orig_hw,
+            "bboxes",
+        )
+        return _loss_from_masks(masks, batch, config, None)
+
+    our_grads = jax.jit(jax.grad(loss_ours))(dec5)
+    merged = dict(params5)
+    merged["decoder"] = jax.tree_util.tree_map(np.asarray, our_grads)
+    sd_grads = to_hf_state_dict(merged, cfg)  # transposes/reshapes only —
+    #   linear relabeling, valid for gradients exactly as for params
+
+    np.testing.assert_allclose(float(loss_ours(dec5)), float(loss_t5.detach()),
+                               rtol=3e-3, atol=3e-3)
+    rels, compared, stats, bad = [], 0, [], []
+    for k, g_t in t_grads.items():
+        g_o = np.asarray(sd_grads["mask_decoder." + k], np.float32)
+        n_t = float(np.linalg.norm(g_t))
+        n_o = float(np.linalg.norm(g_o))
+        n_d = float(np.linalg.norm(g_t - g_o))
+        if n_t < 1e-8 and n_o < 1e-8:  # both effectively zero-gradient
+            continue
+        rel = n_d / max(n_t, 1e-12)
+        cos = float(np.dot(g_t.ravel(), g_o.ravel())) / max(n_t * n_o, 1e-24)
+        stats.append((rel, cos, n_t, k))
+        # absolute floor: a tensor whose gradient is at f32-noise scale
+        # relative to the loss can't be held to a relative bound
+        if n_d > 1e-6 and (rel > 2e-2 or cos < 0.999):
+            bad.append((k, rel, cos, n_t, n_o))
+        rels.append(rel)
+        compared += 1
+    detail = "\n".join(
+        f"  {k}: rel={r:.3e} cos={c:.6f} |t|={nt:.3e}"
+        for r, c, nt, k in sorted(stats, key=lambda s: -s[0])[:15]
+    )
+    assert not bad, f"gradient mismatch:\n{bad}\nworst tensors:\n{detail}"
+    assert compared >= 20, compared  # the decoder's full parameter surface
+    assert float(np.median(rels)) < 2e-3, detail
+    print(f"[vitb-grad-lock] {compared} tensors, median rel "
+          f"{np.median(rels):.2e}, max {max(rels):.2e}\n{detail}")

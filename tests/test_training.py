@@ -135,10 +135,13 @@ def test_cli_flag_parity(tmp_path):
 
 def test_training_topological(tmp_path, dataset_dir):
     """Topology-regularized training (reference --top flag) runs and stays
-    finite via the two-phase pairing protocol."""
+    finite under the DEFAULT mode — on-device pairing+matching since round
+    5 (topo_device=True). The host two-phase protocol is exercised
+    explicitly in the tests below."""
     cfg = _base_config(
         tmp_path, dataset_dir, epochs=1, topological=True, topo_interp=16
     )
+    assert cfg.topo_device is True  # round-5 default: the on-device mode
     result = training(cfg)
     assert np.isfinite(result["history"][0]["train_loss"])
     assert np.isfinite(result["history"][0]["valid_loss"])
@@ -157,11 +160,13 @@ def test_topo_true_cache_exact(tmp_path, dataset_dir, batch_size):
     gather (the padded batch fetches only active grid rows)."""
     on = _base_config(
         tmp_path, dataset_dir, epochs=3, topological=True, topo_interp=16,
+        topo_device=False,  # the GT cache is a host-pairing feature
         display_name="tcache_on", shuffle=False, batch_size=batch_size,
     )
     r_on = training(on)
     off = _base_config(
         tmp_path, dataset_dir, epochs=3, topological=True, topo_interp=16,
+        topo_device=False,
         display_name="tcache_off", shuffle=False, batch_size=batch_size,
     )
     off.topo_true_cache = False
@@ -179,13 +184,13 @@ def test_topo_pipeline_first_step_exact_and_trains(tmp_path, dataset_dir):
     identical train loss; a multi-epoch pipelined run stays finite."""
     sync = _base_config(
         tmp_path, dataset_dir, epochs=1, topological=True, topo_interp=16,
-        display_name="tsync",
+        topo_device=False, display_name="tsync",
     )
     sync.topo_pipeline = False  # default flipped to True in round 3
     r_sync = training(sync)
     piped = _base_config(
         tmp_path, dataset_dir, epochs=1, topological=True, topo_interp=16,
-        display_name="tpipe",
+        topo_device=False, display_name="tpipe",
     )
     piped.topo_pipeline = True
     r_pipe = training(piped)
@@ -234,12 +239,14 @@ def test_topo_data_parallel_padded(tmp_path, dataset_dir):
     assert len(jax.devices()) == 8
     dp = _base_config(
         tmp_path, dataset_dir, epochs=2, batch_size=4, data_parallel=True,
-        topological=True, topo_interp=16, shuffle=False, display_name="tdp",
+        topological=True, topo_interp=16, topo_device=False,
+        shuffle=False, display_name="tdp",
     )
     r_dp = training(dp)
     sd = _base_config(
         tmp_path, dataset_dir, epochs=2, batch_size=4, data_parallel=False,
-        topological=True, topo_interp=16, shuffle=False, display_name="tsd",
+        topological=True, topo_interp=16, topo_device=False,
+        shuffle=False, display_name="tsd",
     )
     r_sd = training(sd)
     for a, b in zip(r_dp["history"], r_sd["history"]):
@@ -264,7 +271,7 @@ def test_topo_device_mode_matches_host(tmp_path, dataset_dir):
     host = _base_config(
         tmp_path, dataset_dir, epochs=2, batch_size=2, shuffle=False,
         topological=True, topo_interp=16, topo_pipeline=False,
-        data_parallel=False, display_name="thost",
+        topo_device=False, data_parallel=False, display_name="thost",
     )
     r_host = training(host)
     for a, b in zip(r_dev["history"], r_host["history"]):
@@ -352,7 +359,20 @@ def test_display_samples(tmp_path, dataset_dir):
 
 
 def test_dryrun_multichip_entry():
-    """Driver contract: 8-device DP dry-run executes one step."""
+    """Driver contract: 8-device DP dry-run executes one step. Fast leg
+    only — the full-geometry ViT-B eval program takes minutes to compile
+    on a cold 1-core host, so it runs under the slow marker below."""
+    import sys
+    sys.path.insert(0, ".")
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8, full_geometry=False)
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_entry_full_geometry():
+    """The driver's actual invocation (full_geometry defaults True):
+    adds the sharded ViT-B-geometry eval-equality legs."""
     import sys
     sys.path.insert(0, ".")
     import __graft_entry__ as g

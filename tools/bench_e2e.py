@@ -75,9 +75,14 @@ def main():
     ap.add_argument("--evaluate", action="store_true",
                     help="run the reference's final per-class evaluation")
     ap.add_argument("--top", action="store_true",
-                    help="topological regularizer on (pipelined default)")
+                    help="topological regularizer on (on-device default)")
     ap.add_argument("--topo_sync", action="store_true",
-                    help="with --top: synchronous two-phase mode")
+                    help="with --top: synchronous two-phase HOST mode "
+                         "(implies --topo_host)")
+    ap.add_argument("--topo_host", action="store_true",
+                    help="with --top: host pairing protocol (pipelined "
+                         "unless --topo_sync) instead of the on-device "
+                         "round-5 default")
     args = ap.parse_args()
 
     from dilabhelmholtzoct_tpu.utils.cache import enable_compilation_cache
@@ -113,6 +118,7 @@ def main():
         display_name="e2e-bench",
         topological=args.top,
         topo_pipeline=not args.topo_sync,
+        topo_device=not (args.topo_host or args.topo_sync),
     )
     t0 = time.time()
     result = training(config)

@@ -73,6 +73,12 @@ def group_of(name: str) -> str:
 def report(totals: dict[str, float], top: int = 25):
     items = sorted(totals.items(), key=lambda kv: -kv[1])
     total = sum(totals.values())
+    dump = os.environ.get("DHOCT_PROFILE_DUMP")
+    if dump:
+        with open(dump, "w") as f:
+            for name, ms in items:
+                f.write(f"{ms:.4f}\t{name}\n")
+        print(f"[profile] full op dump -> {dump}", file=sys.stderr)
     print(f"\n== device total: {total:.2f} ms ==")
     groups: dict[str, float] = collections.defaultdict(float)
     for name, ms in items:

@@ -82,6 +82,9 @@ def base_config(data_dir, root, name, seed, lr, epochs, **kw):
         display_name=name,
         time="t0",
         topo_interp=16,
+        topo_device=False,  # this study compares the two HOST pairing
+        #   modes; the on-device mode (round-5 default) is trajectory-
+        #   pinned against sync in test_topo_device_mode_matches_host
         export_pt=False,
     )
     defaults.update(kw)

@@ -103,6 +103,9 @@ def main():
         display_name="topo-prof",
         topological=True,
         topo_pipeline=True,
+        topo_device=False,  # this tool profiles the HOST pipelined
+        #   protocol; the on-device mode (the round-5 default) is profiled
+        #   by tools/profile_device.py / tools/bench_topo_device.py
     )
     t0 = time.time()
     result = trainer_mod.training(config)
