@@ -225,6 +225,112 @@ def _use_fused_upscaler(n_pixels: int, dtype) -> bool:
     return n_pixels >= 1024 and jax.default_backend() != "cpu"
 
 
+_FUSED_WINDOWED = "auto"
+
+
+def set_fused_windowed(mode: str):
+    """mode ∈ {'auto', 'on', 'off', 'interpret'} — windowed attention over
+    spread image-layout qkv with in-kernel window bookkeeping (round 5
+    experiment): the window partition/unpartition relayouts (pad + 6-D
+    transpose copies + slice, ~1.3 ms/layer at ViT-B bs 8) never touch
+    HBM. MEASURED NET-NEGATIVE on v5e and therefore 'auto' resolves to
+    OFF: the attention+qkv+spread core wins 0.9 ms/layer over the
+    partitioned route, but building the rel-pos factor tensors in image
+    space costs 1.2-1.75 ms/layer vs 0.55 partitioned (x-batched q
+    transpose + 14-lane 5-D spread lowered as while/DUS chains), a
+    structural loss that eats the win — full A/B table in
+    docs/ROADMAP.md. Kept parity-tested ('on'/'interpret') as the record.
+    Forward-only; encoder training (remat) keeps the partitioned
+    custom-VJP route."""
+    global _FUSED_WINDOWED
+    assert mode in ("auto", "on", "off", "interpret")
+    _FUSED_WINDOWED = mode
+
+
+def _use_fused_windowed(cfg: VisionConfig, ws: int) -> bool:
+    c = cfg.hidden_size
+    if not (cfg.use_rel_pos and c // cfg.num_heads == 64
+            and cfg.num_heads % 2 == 0):
+        return False
+    if _FUSED_WINDOWED in ("on", "interpret"):
+        return True
+    return False  # 'auto' == off: measured slower than the partitioned route
+
+
+def _windowed_attention_image(x_ln, p, cfg: VisionConfig, ws: int):
+    """Windowed MHSA on (B, H, W, C) LN output without the window-partition
+    transposes: flat qkv matmul over the REAL tokens only (better MXU
+    shape than the padded per-window one), then a cheap pad-reshape SPREAD
+    of the W axis — window wx's ws columns at the start of a 16-column
+    slot — so ops.attention.flash_attention_windowed_image can do the
+    window bookkeeping with tile-aligned slices/merges only. Rel-pos
+    factors are built directly in the spread layout with row/col-tiled
+    tables (window row of image row r is r % ws since windows tile at ws
+    strides; the col table is slot-tiled with zero phantom rows — phantom
+    factors only affect dropped pad-query outputs). Output is compacted
+    back (slice+reshape, no transpose) and projected. Bit-equal to the
+    partitioned route (pinned in tests/test_attention.py)."""
+    b, h, w, c = x_ln.shape
+    n_heads = cfg.num_heads
+    from ..ops.attention import _WIN_SLOT, flash_attention_windowed_image
+
+    slot = _WIN_SLOT
+    n_wx = -(-w // ws)
+    w_s = n_wx * slot
+    qkv_img = linear(x_ln.reshape(b, h * w, c), p["qkv"]).reshape(
+        b, h, w, 3 * c)
+    # SPREAD = one constant-index gather along W (a pad+reshape+pad chain
+    # compiles to 4 full-tensor copy passes, ~2 ms/layer — measured).
+    # Spread values at pad/phantom positions are irrelevant (the kernel
+    # reconstructs reference-pad tokens from the qkv bias and masks
+    # phantom slot cols), so clamped source indices are fine.
+    spread_idx = np.minimum(
+        (np.arange(w_s) // slot) * ws + np.minimum(np.arange(w_s) % slot,
+                                                   ws - 1),
+        w - 1)
+    qkv_s = jnp.take(qkv_img, spread_idx, axis=2)
+
+    rh = rel_pos_table(p["rel_pos_h"], ws, ws)
+    rw = rel_pos_table(p["rel_pos_w"], ws, ws)
+    rh_t = jnp.tile(rh, (-(-h // ws), 1, 1))[:h].astype(x_ln.dtype)
+    rw_t = jnp.tile(rw, (n_wx, 1, 1))[:w].astype(x_ln.dtype)
+    # rel factors from the UNSPREAD q (spread-layout einsums relayout the
+    # big q tensor, ~1.2 ms/layer — measured); factors are small, so the
+    # spread gather on them is cheap. rh|rw are lane-packed into ONE
+    # tensor (halves the 14-lane-tensor copy/gather traffic — the kernel's
+    # factor and selector column orders already match). Phantom-position
+    # factors only feed dropped pad-query outputs.
+    q_img = qkv_img[..., :c].reshape(b, h, w, n_heads, 64)
+    rel = jnp.take(
+        jnp.concatenate(
+            [jnp.einsum("bxyhc,xkc->bhxyk", q_img, rh_t),
+             jnp.einsum("bxyhc,ykc->bhxyk", q_img, rw_t)], axis=-1),
+        spread_idx, axis=3)
+    attn_fn = partial(
+        flash_attention_windowed_image, ws=ws, wdt=w, num_heads=n_heads,
+        interpret=(_FUSED_WINDOWED == "interpret"
+                   or _FLASH_MODE == "interpret"),
+    )
+    mesh = _kernel_mesh(b)
+    if mesh is not None:
+        # DP: shard the Mosaic call over the batch axis (GSPMD would
+        # replicate it otherwise); the bias operand is replicated.
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.mesh import DATA_AXIS, shard_map_kernel
+
+        attn_fn = shard_map_kernel(
+            attn_fn, mesh,
+            in_specs=(P(DATA_AXIS), P(DATA_AXIS), P()),
+            out_specs=P(DATA_AXIS),
+        )
+    out_s = attn_fn(qkv_s, rel, p["qkv"]["b"])  # (B,H,W_s,C)
+    # compact: inverse gather — real col x lives at slot (x//ws)*slot+x%ws
+    compact_idx = (np.arange(w) // ws) * slot + np.arange(w) % ws
+    out = jnp.take(out_s, compact_idx, axis=2)
+    return linear(out.reshape(b, h * w, c), p["proj"]).reshape(b, h, w, c)
+
+
 def vision_attention(x, p, cfg: VisionConfig):
     """Multi-head self-attention with optional decomposed rel-pos bias.
 
@@ -344,15 +450,20 @@ def window_unpartition(windows, window_size, padded_hw, hw):
     return x[:, :h, :w, :]
 
 
-def vision_layer(x, p, cfg: VisionConfig, window_size: int):
+def vision_layer(x, p, cfg: VisionConfig, window_size: int,
+                 fused_win: bool = False):
     shortcut = x
     x = layer_norm(x, p["ln1"], cfg.layer_norm_eps)
-    if window_size > 0:
-        hw = (x.shape[1], x.shape[2])
-        x, padded_hw = window_partition(x, window_size)
-    x = vision_attention(x, p["attn"], cfg)
-    if window_size > 0:
-        x = window_unpartition(x, window_size, padded_hw, hw)
+    if window_size > 0 and fused_win and _use_fused_windowed(
+            cfg, window_size):
+        x = _windowed_attention_image(x, p["attn"], cfg, window_size)
+    else:
+        if window_size > 0:
+            hw = (x.shape[1], x.shape[2])
+            x, padded_hw = window_partition(x, window_size)
+        x = vision_attention(x, p["attn"], cfg)
+        if window_size > 0:
+            x = window_unpartition(x, window_size, padded_hw, hw)
     x = shortcut + x
     y = layer_norm(x, p["ln2"], cfg.layer_norm_eps)
     # Flat 2-D token matmuls: XLA tiles (B·H·W, C) dots onto the MXU better
@@ -395,11 +506,13 @@ def encode_image(params, pixel_values, cfg: SamConfig, *, remat: bool = False):
     for i in range(v.num_layers):
         ws = 0 if i in v.global_attn_indexes else v.window_size
         if remat:
+            # Training path (encoder gradients): the fused windowed kernel
+            # is forward-only, keep the partitioned custom-VJP route.
             x = jax.checkpoint(
                 partial(vision_layer, cfg=v, window_size=ws)
             )(x, p["layers"][i])
         else:
-            x = vision_layer(x, p["layers"][i], v, ws)
+            x = vision_layer(x, p["layers"][i], v, ws, fused_win=True)
     # Neck: 1x1 conv → LN(channel) → 3x3 conv → LN(channel); both convs
     # bias-free. 1x1 conv is a channel matmul in NHWC.
     n = p["neck"]

@@ -438,6 +438,232 @@ def _windowed_group_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, *refs,
         )[:, None]
 
 
+_WIN_SLOT = 16  # spread-layout slot width: bf16 sublane tile (16) so every
+# in-kernel window slice/merge lands on a register-tile boundary; also a
+# multiple of the f32 tile (8).
+
+
+def _windowed_image_kernel(q_ref, k_ref, v_ref, rel_ref, bias_ref,
+                           o_ref, *, ws: int, hgt: int, wdt: int,
+                           scale: float, pairs: int):
+    """One (batch, window-row-band, head-pair) program over SPREAD-layout qkv.
+
+    Round-5 full-step push, v2. The window partition/unpartition machinery
+    around the windowed layers (pad -> 6-D transpose copy -> reshape in;
+    copy -> transpose -> slice out, plus the (200,196,.) qkv/proj
+    relayouts) cost ~1.3 ms/layer at ViT-B bs 8 - more than the 0.73 ms
+    attention itself (xplane, docs/ROADMAP.md). v1 of this kernel read the
+    compact (B, H, W, 3C) image layout and extracted the ws=14-wide
+    windows in-kernel: every slice/merge was sublane-UNALIGNED for the
+    (16, 128) bf16 register tile, and the Mosaic relayouts made the layer
+    3.79 ms - worse than what it replaced. v2 fixes that by construction:
+    the caller pre-SPREADS the W axis so window wx occupies a 16-column
+    slot [16*wx, 16*wx+16) with its 14 real columns at the slot start
+    (one cheap XLA pad-reshape, no transpose). In-kernel, window
+    extraction is a slice at a 16-multiple of the sublane axis and the
+    (ws, slot, 128) -> (ws*slot, 128) token merge has inner dim == the
+    sublane tile: both relayout-free.
+
+    Token accounting per window (TK = ws*slot = 224):
+      - real tokens: intra-slot col j < ws and image row/col in range;
+      - reference-pad tokens (HF SAM window_partition zero-pads H and W up
+        to ws multiples; those tokens ATTEND and are attended): rows >= H
+        in the tail band and j < ws cols mapping past W. Zero LN input
+        through the qkv linear makes their qkv exactly the BIAS row, which
+        the kernel reconstructs (bit-equal: 0 @ W + b == b);
+      - phantom slot cols (j >= ws): not in the reference at all - masked
+        out of every softmax with -1e30 and dropped on the way out.
+    Per-window math (head packing, folded rel-pos selector columns, f32
+    softmax) is otherwise IDENTICAL to _windowed_group_kernel, so real
+    outputs are bit-equal to the partitioned route (pinned in
+    tests/test_attention.py::test_fused_windowed_image_matches_partitioned).
+
+    Block shapes (W_s = n_wx * 16 spread width):
+      q/k/v: (1, ws, W_s, 128)     - one head-pair lane slice of the band
+      rh/rw: (1, 2, ws, W_s, ws)   - rel factors, spread layout
+      bias:  (3*pairs, 128)        - full qkv bias, rows = role*pairs+pair
+      out:   (1, ws, W_s, 128)     - spread layout; caller compacts
+    Forward-only (frozen-encoder paths); encoder training (remat) keeps
+    the partitioned custom-VJP route.
+    """
+    g = pl.program_id(2)
+    band_i = pl.program_id(1)
+    slot = _WIN_SLOT
+    w_s = q_ref.shape[2]
+    n_wx = w_s // slot
+    tq = ws * slot  # per-window tokens incl. masked phantom slot cols
+    dtype = q_ref.dtype
+
+    row0 = band_i * ws
+    rr = jax.lax.broadcasted_iota(jnp.int32, (ws, w_s, 128), 0) + row0
+    cc = jax.lax.broadcasted_iota(jnp.int32, (ws, w_s, 128), 1)
+    jj = cc % slot                    # intra-slot col
+    refcol = (cc // slot) * ws + jj   # image col this slot position maps to
+    # reference-pad (and tail-band garbage) positions take the bias row;
+    # phantom slot cols (jj >= ws) also get it but are masked in the scores.
+    valid = (rr < hgt) & (refcol < wdt) & (jj < ws)
+
+    def fix(ref, brow):
+        return jnp.where(valid, ref[0], brow[None, None, :])
+
+    bias = bias_ref[...]  # (3*pairs, 128)
+
+    def bias_row(role):
+        sel = jax.lax.broadcasted_iota(
+            jnp.int32, (3 * pairs, 128), 0) == role * pairs + g
+        return jnp.sum(jnp.where(sel, bias, 0.0), axis=0).astype(dtype)
+
+    qb = fix(q_ref, bias_row(0))
+    kb = fix(k_ref, bias_row(1))
+    vb = fix(v_ref, bias_row(2))
+    relb = rel_ref[0]  # (2, ws, W_s, 2ws) - rh and rw packed on the lane dim
+    # (one operand instead of two: the q_cat factor columns and the k_cat
+    # selector columns share the [rh | rw] order, so no in-kernel split)
+
+    def win(arr, wx):  # (ws, W_s, 128) -> (ws*slot, 128), tile-aligned
+        return arr[:, wx * slot:(wx + 1) * slot, :].reshape(tq, -1)
+
+    def win_rel(arr, wx):  # (2, ws, W_s, 2ws) -> (2, ws*slot, 2ws)
+        return arr[:, :, wx * slot:(wx + 1) * slot, :].reshape(2, tq, 2 * ws)
+
+    q = jnp.stack([win(qb, x) for x in range(n_wx)])      # (n_wx, TK, 128)
+    k = jnp.stack([win(kb, x) for x in range(n_wx)])
+    v = jnp.stack([win(vb, x) for x in range(n_wx)])
+    rel = jnp.stack([win_rel(relb, x) for x in range(n_wx)])  # (n_wx,2,TK,2ws)
+
+    # ---- identical math to _windowed_group_kernel ----------------------
+    # (token order within a window: t = slot*wr + wc)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tq, 128), 1)
+    is_a = lane < 64
+    tq_pad = -(-tq // 8) * 8  # == tq (slot is a multiple of 8)
+    pad_rows = tq_pad - tq
+    sc = jnp.asarray(scale, dtype)
+
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (tq, ws), 0)
+    c_idx = jax.lax.broadcasted_iota(jnp.int32, (tq, ws), 1)
+    sel_w = (t_idx % slot == c_idx).astype(dtype)   # (TK, ws)
+    sel_h = (c_idx == t_idx // slot).astype(dtype)  # (TK, ws)
+    # phantom slot cols (wc >= ws) are not reference tokens — mask them out
+    # of every softmax row THROUGH the score dot: one extra folded column
+    # (q side constant 1, k side 0 / -1e30) rides the same MXU pass as the
+    # selector columns.
+    # (arithmetic, not a bool select: Mosaic cannot relayout width-1 i1
+    # vectors; (t % slot) // ws is 0 for real cols, 1 for phantom)
+    km_i = jax.lax.broadcasted_iota(jnp.int32, (tq, 1), 0)
+    kmask = ((km_i % slot) // ws).astype(dtype) * jnp.asarray(-1e30, dtype)
+
+    zeros = jnp.zeros_like(q)
+    q_a = jnp.where(is_a, q * sc, zeros)
+    q_b = jnp.where(is_a, zeros, q * sc)
+
+    ones_col = jnp.ones((tq, 1), dtype)
+
+    def head_rows(q_m, rel_fac):
+        cat = jnp.concatenate(
+            [q_m, rel_fac,
+             jnp.broadcast_to(ones_col[None], (n_wx, tq, 1))], axis=2)
+        if pad_rows:
+            cat = jnp.pad(cat, ((0, 0), (0, pad_rows), (0, 0)))
+        return cat
+
+    q_cat = jnp.concatenate(
+        [head_rows(q_a, rel[:, 0]), head_rows(q_b, rel[:, 1])], axis=1
+    )  # (n_wx, 2*TQ_pad, 128+2ws+1)
+    sel = jnp.broadcast_to(
+        jnp.concatenate([sel_h, sel_w, kmask], axis=1)[None],
+        (n_wx, tq, 2 * ws + 1),
+    )
+    k_cat = jnp.concatenate([k, sel], axis=2)
+    s = jax.lax.dot_general(
+        q_cat, k_cat, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (n_wx, 2*TQ_pad, TK) f32; phantom cols already at -1e30 via kmask
+    m = jnp.max(s, axis=2, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=2, keepdims=True)
+    out = jax.lax.dot_general(
+        (p / l).astype(dtype), v,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (n_wx, 2*TQ_pad, 128)
+    out = jnp.where(
+        is_a, out[:, :tq], out[:, tq_pad:tq_pad + tq]
+    ).astype(o_ref.dtype)  # (n_wx, TK, 128)
+
+    # ---- reassemble the band in spread layout (aligned concat) ---------
+    o_ref[0] = jnp.concatenate(
+        [out[x].reshape(ws, slot, 128) for x in range(n_wx)], axis=1)
+
+
+def flash_attention_windowed_image(qkv_s, rel, qkv_bias, *,
+                                   ws: int, wdt: int, num_heads: int,
+                                   interpret: bool = False):
+    """Windowed attention over SPREAD-layout fused qkv - no window
+    partition/unpartition transposes in HBM (see _windowed_image_kernel).
+
+    qkv_s:    (B, H, W_s, 3C) - qkv linear output (bias included), W axis
+              spread so window wx's ws real columns sit at the start of a
+              16-column slot (W_s = n_wx*16); the pad positions may hold
+              anything (the kernel reconstructs/masks them).
+    rel:      (B, heads, H, W_s, 2ws) - per-token bias factors over key
+              rows (lanes [:ws], row-tiled table) and key cols (lanes
+              [ws:], col-tiled table), spread layout, lane-packed so the
+              rel path is ONE tensor through einsum/gather/DMA.
+    qkv_bias: (3C,) - the qkv linear bias (reference-pad token values).
+    wdt:      true (unspread) image width; cols in [wdt, n_wx*ws) are
+              reference-pad tokens.
+    Returns (B, H, W_s, C) in the same spread layout. Forward-only.
+    """
+    b, hgt, w_s, c3 = qkv_s.shape
+    c = c3 // 3
+    d = c // num_heads
+    assert d == 64 and num_heads % 2 == 0, (d, num_heads)
+    assert w_s % _WIN_SLOT == 0, (w_s,)
+    pairs = num_heads // 2
+    n_bands = -(-hgt // ws)
+    n_wx = w_s // _WIN_SLOT
+    assert n_wx == -(-wdt // ws), (w_s, wdt, ws)
+    scale = d ** -0.5
+
+    bias = qkv_bias.reshape(3 * pairs, 128).astype(qkv_s.dtype)
+    grid = (b, n_bands, pairs)
+    kernel = functools.partial(
+        _windowed_image_kernel, ws=ws, hgt=hgt, wdt=wdt,
+        scale=scale, pairs=pairs)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, ws, w_s, 128), lambda bb, i, g: (bb, i, 0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ws, w_s, 128),
+                         lambda bb, i, g: (bb, i, 0, pairs + g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ws, w_s, 128),
+                         lambda bb, i, g: (bb, i, 0, 2 * pairs + g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, ws, w_s, 2 * ws),
+                         lambda bb, i, g: (bb, g, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bias, full
+        ],
+        out_specs=pl.BlockSpec((1, ws, w_s, 128),
+                               lambda bb, i, g: (bb, i, 0, g),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, hgt, w_s, c), qkv_s.dtype),
+        compiler_params=_parallel3_dim_semantics(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 3 * 2 * b * pairs * hgt * w_s * ws * _WIN_SLOT * 128,
+            bytes_accessed=(
+                b * hgt * w_s * (3 * c + num_heads * 2 * ws)
+                * qkv_s.dtype.itemsize * 2
+            ),
+            transcendentals=b * num_heads * hgt * w_s * ws * _WIN_SLOT,
+        ),
+        interpret=interpret,
+    )(qkv_s, qkv_s, qkv_s, rel, bias)
+
+
 def _window_group(b: int) -> int:
     """Windows per program: SAM's 64/14 grid gives 25 windows per image, so
     b (= batch·25) is divisible by 5. Capped at 5: the unrolled loop's
@@ -470,6 +696,17 @@ def _group_dim_semantics():
     except AttributeError:  # older pallas API name
         return pltpu.TPUCompilerParams(
             dimension_semantics=("parallel", "parallel"),
+        )
+
+
+def _parallel3_dim_semantics():
+    try:
+        return pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        )
+    except AttributeError:  # older pallas API name
+        return pltpu.TPUCompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
         )
 
 

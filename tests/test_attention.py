@@ -318,3 +318,61 @@ def test_encoder_grad_flash_matches_xla(rng):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), atol=1e-3, rtol=2e-3
         )
+
+
+@pytest.mark.parametrize("hw", [(28, 28), (20, 20), (28, 20)])
+def test_fused_windowed_image_matches_partitioned(rng, hw):
+    """vision_layer's fused image-layout windowed path (round 5:
+    partition/unpartition done in-kernel, ops.attention.
+    flash_attention_windowed_image) == the partitioned packed route,
+    including tail windows where the partition zero-pads (phantom tokens
+    must reproduce the qkv-bias key values the reference path produces).
+    Reference window semantics: HF SAM window_partition /
+    modeling_sam.py windowed attention (octsam trains via
+    training_utils.py:55 forward)."""
+    import jax
+    from dilabhelmholtzoct_tpu.models import sam as sam_mod
+    from dilabhelmholtzoct_tpu.models.configs import VisionConfig
+
+    cfg = VisionConfig(hidden_size=128, num_heads=2, window_size=14,
+                       mlp_dim=256)
+    h, w = hw
+    c = cfg.hidden_size
+    x = jnp.asarray(rng.normal(size=(2, h, w, c)).astype(np.float32))
+
+    def lin(n_in, n_out):
+        return {
+            "w": jnp.asarray(
+                (rng.normal(size=(n_in, n_out)) * 0.05).astype(np.float32)),
+            "b": jnp.asarray(
+                (rng.normal(size=(n_out,)) * 0.05).astype(np.float32)),
+        }
+
+    p = {
+        "ln1": {"scale": jnp.ones((c,)), "bias": jnp.zeros((c,))},
+        "ln2": {"scale": jnp.ones((c,)), "bias": jnp.zeros((c,))},
+        "attn": {
+            "qkv": lin(c, 3 * c),
+            "proj": lin(c, c),
+            "rel_pos_h": jnp.asarray(
+                (rng.normal(size=(27, 64)) * 0.2).astype(np.float32)),
+            "rel_pos_w": jnp.asarray(
+                (rng.normal(size=(27, 64)) * 0.2).astype(np.float32)),
+        },
+        "mlp1": lin(c, cfg.mlp_dim),
+        "mlp2": lin(cfg.mlp_dim, c),
+    }
+
+    sam_mod.set_flash_attention("interpret")
+    try:
+        want = sam_mod.vision_layer(x, p, cfg, cfg.window_size,
+                                    fused_win=False)
+        sam_mod.set_fused_windowed("interpret")
+        got = sam_mod.vision_layer(x, p, cfg, cfg.window_size,
+                                   fused_win=True)
+    finally:
+        sam_mod.set_flash_attention("auto")
+        sam_mod.set_fused_windowed("auto")
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=5e-5, rtol=1e-4
+    )

@@ -194,9 +194,76 @@ def profile_step(batch: int, runs: int, cached: bool, top: int = 40):
           f"-> {batch / (total / 1e3):.1f} img/s")
 
 
+def profile_topostep(batch: int, runs: int, top: int = 40):
+    """On-device topological cached step (topo_device=True), bs=batch.
+
+    The same blob-shaped synthetic batch bench.py uses (the GT diagrams
+    must look like real masks — a few bars — or the matcher benchmarks the
+    wrong workload). Attribution targets: the pairing while_loops
+    (basin propagation + Kruskal), the two lax.sorts, and the JV matcher's
+    nested Dijkstra loops (ops/topology_device.py)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from dilabhelmholtzoct_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    from dilabhelmholtzoct_tpu.models import sam_vit_base, init_params
+    from dilabhelmholtzoct_tpu.train.trainer import (
+        TrainConfig, _split_params, make_optimizer, make_train_step,
+    )
+
+    cfg = sam_vit_base()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    decoder_params, frozen_params = _split_params(params)
+    rng = np.random.default_rng(0)
+    orig_hw = (496, 512)
+    n_prompts = 8
+    comp_map = np.zeros((batch, *orig_hw), np.int32)
+    prompts = np.zeros((batch, n_prompts, 4), np.float32)
+    for b in range(batch):
+        for c in range(n_prompts):
+            y = int(rng.integers(10, orig_hw[0] - 90))
+            x = int(rng.integers(10, orig_hw[1] - 90))
+            hh, ww = int(rng.integers(30, 80)), int(rng.integers(30, 80))
+            comp_map[b, y:y + hh, x:x + ww] = c + 1
+            prompts[b, c] = (x, y, x + ww, y + hh)
+    g = cfg.prompt.image_embedding_size
+    data = {
+        "prompts": jnp.asarray(prompts),
+        "comp_map": jnp.asarray(comp_map),
+        "channel_mask": jnp.ones((batch, n_prompts), jnp.float32),
+        "embeddings": jnp.asarray(
+            rng.normal(size=(batch, g, g, 256)), jnp.bfloat16),
+    }
+    config = TrainConfig(
+        compute_dtype="bfloat16", cache_embeddings=True, batch_size=batch,
+        topological=True, topo_interp=50, topo_device=True,
+    )
+    optimizer = make_optimizer(config)
+    dec = jax.tree_util.tree_map(jnp.copy, decoder_params)
+    opt = optimizer.init(dec)
+    step = make_train_step(cfg, config, optimizer, orig_hw,
+                           from_embeddings=True)
+    dec, opt, loss = step(dec, opt, frozen_params, data)
+    jax.block_until_ready((dec, opt, loss))
+
+    logdir = tempfile.mkdtemp(prefix="prof_topostep_")
+    jax.profiler.start_trace(logdir)
+    for _ in range(runs):
+        dec, opt, loss = step(dec, opt, frozen_params, data)
+    jax.block_until_ready((dec, opt, loss))
+    jax.profiler.stop_trace()
+    totals = collect_xplane(logdir, runs)
+    report(totals, top=top)
+    total = sum(totals.values())
+    print(f"\ntopo-device cached step B={batch}: {total:.1f} ms device "
+          f"-> {batch / (total / 1e3):.1f} img/s")
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("target", choices=["encoder", "step", "fullstep"])
+    ap.add_argument("target", choices=["encoder", "step", "fullstep",
+                                       "topostep"])
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--runs", type=int, default=4)
     ap.add_argument("--dtype", default="bfloat16")
@@ -209,6 +276,8 @@ def main():
                         args.tiles)
     elif args.target == "step":
         profile_step(args.batch, args.runs, cached=True, top=args.top or 40)
+    elif args.target == "topostep":
+        profile_topostep(args.batch, args.runs, top=args.top or 40)
     else:
         profile_step(args.batch, args.runs, cached=False,
                      top=args.top or 40)
