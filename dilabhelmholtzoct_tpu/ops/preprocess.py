@@ -37,6 +37,31 @@ def preprocess_shape(orig_h: int, orig_w: int, longest_edge: int = 1024):
     return int(orig_h * scale + 0.5), int(orig_w * scale + 0.5)
 
 
+def _upsample2_bilinear(x, axis: int):
+    """Exact 2x bilinear upsampling along ``axis`` (half-pixel centers,
+    edge clamp — the ``jax.image.resize(..., 'bilinear')`` convention):
+    out[2j] = 0.25*x[j-1] + 0.75*x[j], out[2j+1] = 0.75*x[j] + 0.25*x[j+1].
+
+    Closed-form elementwise path for the OCT geometry (496x512 -> 992x1024
+    is exactly 2x per side): the general gather-based resize lowering runs
+    ~8x off bandwidth roofline on TPU (~1.0 ms/step of the full fine-tune
+    step, xplane round 5); this form fuses to shifted reads + one
+    interleaving write.
+    """
+    lo = jnp.concatenate(
+        [jax.lax.slice_in_dim(x, 0, 1, axis=axis),
+         jax.lax.slice_in_dim(x, 0, x.shape[axis] - 1, axis=axis)], axis)
+    hi = jnp.concatenate(
+        [jax.lax.slice_in_dim(x, 1, x.shape[axis], axis=axis),
+         jax.lax.slice_in_dim(x, x.shape[axis] - 1, x.shape[axis],
+                              axis=axis)], axis)
+    even = 0.25 * lo + 0.75 * x
+    odd = 0.75 * x + 0.25 * hi
+    y = jnp.stack([even, odd], axis=axis + 1)
+    return y.reshape(
+        x.shape[:axis] + (2 * x.shape[axis],) + x.shape[axis + 1:])
+
+
 def preprocess_image(
     image,
     *,
@@ -51,9 +76,16 @@ def preprocess_image(
     b, h, w, c = image.shape
     new_h, new_w = preprocess_shape(h, w, target_size)
     x = image.astype(jnp.float32)
-    x = jax.image.resize(x, (b, new_h, new_w, c), method="bilinear")
-    x = x / 255.0
-    x = (x - IMAGENET_MEAN) / IMAGENET_STD
+    if (new_h, new_w) == (2 * h, 2 * w):
+        # normalize BEFORE the upsample (affine maps commute exactly with
+        # convex bilinear weights) so the elementwise chain runs on the
+        # small source image; then the closed-form 2x path.
+        x = (x / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+        x = _upsample2_bilinear(_upsample2_bilinear(x, 1), 2)
+    else:
+        x = jax.image.resize(x, (b, new_h, new_w, c), method="bilinear")
+        x = x / 255.0
+        x = (x - IMAGENET_MEAN) / IMAGENET_STD
     x = jnp.pad(
         x, ((0, 0), (0, target_size - new_h), (0, target_size - new_w), (0, 0))
     )

@@ -64,7 +64,6 @@ import numpy as np
 from .topology import (
     MAX_BARS,
     _reduce_topo,
-    _wasserstein_per_diagram,
     resize_align_corners,
 )
 
@@ -72,6 +71,8 @@ from .topology import (
 # every pixel). Supports grids up to 2**_SHIFT - 2 cells.
 _SHIFT = 16
 _MAXCELLS = (1 << _SHIFT) - 2
+# edges processed per Kruskal while-loop iteration (see kr_body)
+_KR_UNROLL = 4
 
 _NEIGH8 = ((-1, -1), (-1, 0), (-1, 1), (0, -1),
            (0, 1), (1, -1), (1, 0), (1, 1))
@@ -243,6 +244,17 @@ def _pairing_pass(values, *, eight: bool, outside: bool, max_bars: int):
         return (i < e_total) & jnp.any(i < n_edges)
 
     def kr_body(st):
+        # _KR_UNROLL edges per while iteration, sequentially — bit-equal
+        # to one-at-a-time (each sub-step is fully masked by its own
+        # ``active``; dynamic_index clamps past e_total and those steps
+        # are no-ops). Amortizes the loop's cross-lane cond reduce +
+        # per-iteration dispatch, which xplane put at ~1.1 ms of the
+        # 4.5 ms loop (round 5).
+        for _ in range(_KR_UNROLL):
+            st = _kr_edge(st)
+        return st
+
+    def _kr_edge(st):
         i, roots, cnt, births, deaths, pers = st
         ea_i = jax.lax.dynamic_index_in_dim(ea_t, i, 0, keepdims=False)
         eb_i = jax.lax.dynamic_index_in_dim(eb_t, i, 0, keepdims=False)
@@ -319,11 +331,15 @@ def device_cubical_pairs(grids, feat_d: int, max_bars: int = MAX_BARS):
 
 
 def device_wasserstein_match(flat_pred, p_birth, p_death, t_b, t_d, t_cnt,
-                             q: float):
+                             q: float, bval=None, dval=None):
     """Reduced-assignment optimal partial matching on device.
 
     flat_pred: (N, HW) f32; p_birth/p_death: (N, K) i32 (−1 pad);
     t_b/t_d: (N, T) f32 true-bar birth/death values; t_cnt: (N,) i32.
+    bval/dval: optional precomputed pred bar values (callers that also
+    need them differentiably gather once and pass stop_gradient here —
+    the (N, 512)-from-(N, HW) gathers lower poorly on TPU, ~0.33 ms
+    each, xplane round 5).
 
     Returns (matched (N, K) bool, target (N, K, 2) f32, const_term (N,)):
     the exact outputs of native/persistence.cc::wasserstein_match_batch
@@ -337,8 +353,9 @@ def device_wasserstein_match(flat_pred, p_birth, p_death, t_b, t_d, t_cnt,
     inf = jnp.float32(np.inf)
 
     valid_p = p_birth >= 0
-    bval = jnp.take_along_axis(flat_pred, jnp.clip(p_birth, 0), axis=1)
-    dval = jnp.take_along_axis(flat_pred, jnp.clip(p_death, 0), axis=1)
+    if bval is None:
+        bval = jnp.take_along_axis(flat_pred, jnp.clip(p_birth, 0), axis=1)
+        dval = jnp.take_along_axis(flat_pred, jnp.clip(p_death, 0), axis=1)
     diag_p = jnp.where(
         valid_p, jnp.power(jnp.abs(dval - bval) / 2.0, qf), 0.0)
     row_iota_t = jax.lax.broadcasted_iota(jnp.int32, (1, t), 1)
@@ -468,9 +485,16 @@ def device_wasserstein_match(flat_pred, p_birth, p_death, t_b, t_d, t_cnt,
 
 
 def device_pairing(pred_g, true_g, feat_d: int, q: float,
-                   max_bars: int = MAX_BARS):
+                   max_bars: int = MAX_BARS, pred_diff=None):
     """All-combinatorial structure for (N, h, w) downsampled grids, fully
-    on device — same dict contract as ops.topology.host_pairing."""
+    on device — same dict contract as ops.topology.host_pairing.
+
+    pred_diff: optional DIFFERENTIABLE (N, h, w) grid to gather the pred
+    bar values from (identical to pred_g on every non-padding row — the
+    pairing indices come from pred_g either way). When given, the dict
+    additionally carries differentiable ``p_b_val``/``p_d_val`` and the
+    matcher reuses their stop_gradient instead of re-gathering (saves two
+    of the slow (N,512)-from-(N,HW) TPU gathers per step)."""
     sp = jax.lax.stop_gradient(pred_g.astype(jnp.float32))
     st = jax.lax.stop_gradient(true_g.astype(jnp.float32))
     n = sp.shape[0]
@@ -479,15 +503,24 @@ def device_pairing(pred_g, true_g, feat_d: int, q: float,
     t_flat = st.reshape(n, -1)
     t_b = jnp.take_along_axis(t_flat, jnp.clip(tb_i, 0), axis=1)
     t_d = jnp.take_along_axis(t_flat, jnp.clip(td_i, 0), axis=1)
+    out = {"p_birth": pb, "p_death": pd}
+    bval = dval = None
+    if pred_diff is not None:
+        flat_diff = pred_diff.astype(jnp.float32).reshape(n, -1)
+        out["p_b_val"] = jnp.take_along_axis(
+            flat_diff, jnp.clip(pb, 0), axis=1)
+        out["p_d_val"] = jnp.take_along_axis(
+            flat_diff, jnp.clip(pd, 0), axis=1)
+        bval = jax.lax.stop_gradient(out["p_b_val"])
+        dval = jax.lax.stop_gradient(out["p_d_val"])
     matched, target, const_term = device_wasserstein_match(
-        sp.reshape(n, -1), pb, pd, t_b, t_d, t_cnt, q)
-    return {
-        "p_birth": pb,
-        "p_death": pd,
-        "matched": matched.astype(jnp.int8),
-        "target": target,
-        "const_term": const_term,
-    }
+        sp.reshape(n, -1), pb, pd, t_b, t_d, t_cnt, q,
+        bval=bval, dval=dval)
+    out.update(
+        matched=matched.astype(jnp.int8), target=target,
+        const_term=const_term,
+    )
+    return out
 
 
 def topo_loss_device(
@@ -528,11 +561,22 @@ def topo_loss_device(
     else:
         pred_pair_g = pred_g
     pairing = device_pairing(pred_pair_g, true_g, feat_d, float(loss_q),
-                             max_bars)
-    w_per = _wasserstein_per_diagram(
-        pred_g, pairing["p_birth"], pairing["p_death"], pairing["matched"],
-        pairing["target"], pairing["const_term"], float(loss_q),
-    ).reshape(b, c)
+                             max_bars, pred_diff=pred_g)
+    # same math as ops.topology._wasserstein_per_diagram, but from the
+    # bar values already gathered (differentiably) inside device_pairing
+    valid = pairing["p_birth"] >= 0
+    bv, dv = pairing["p_b_val"], pairing["p_d_val"]
+    m = pairing["matched"].astype(bool)
+    target = pairing["target"]
+    qf = float(loss_q)
+    cost_matched = jnp.maximum(
+        jnp.abs(bv - target[..., 0]), jnp.abs(dv - target[..., 1])
+    ) ** qf
+    cost_diag = (jnp.abs(dv - bv) / 2.0) ** qf
+    cost = jnp.where(m, cost_matched, cost_diag)
+    total = (jnp.sum(jnp.where(valid, cost, 0.0), axis=1)
+             + pairing["const_term"])
+    w_per = jnp.power(jnp.maximum(total, 1e-12), 1.0 / qf).reshape(b, c)
     return _reduce_topo(
         w_per, pred_g, pairing, lamda, loss_q, loss_r, channel_mask, b, c
     )

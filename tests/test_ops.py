@@ -71,6 +71,21 @@ def test_preprocess_image_matches_hf(rng):
     assert np.mean(np.abs(ours - hf_pix)) < 0.01
 
 
+def test_upsample2_matches_general_resize(rng):
+    """The closed-form exact-2x bilinear path (round 5, used for the OCT
+    496x512 -> 992x1024 resize) == jax.image.resize bilinear, to float
+    rounding. Reference semantics: SamProcessor's PIL bilinear resize
+    (octsam/models/training_utils.py:46-52)."""
+    import jax
+    from dilabhelmholtzoct_tpu.ops.preprocess import _upsample2_bilinear
+
+    x = jnp.asarray(rng.normal(size=(2, 31, 17, 3)).astype(np.float32))
+    got = _upsample2_bilinear(_upsample2_bilinear(x, 1), 2)
+    want = jax.image.resize(x, (2, 62, 34, 3), method="bilinear")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-6, atol=2e-6)
+
+
 def test_box_rescale_matches_hf():
     proc = _hf_processor()
     img = np.zeros((496, 512, 3), np.uint8)
